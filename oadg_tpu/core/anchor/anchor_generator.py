@@ -1,0 +1,126 @@
+"""Anchor / prior generation (numpy precompute + jnp-friendly outputs).
+
+Matches reference mmdet/core/anchor/anchor_generator.py:13 semantics:
+base anchors per level from (scales x ratios) around stride-sized cells
+(ratio-major, scale-minor ordering), grid priors location-major with anchors
+innermost, matching the (H, W, A, C) reshape of head predictions.
+
+Anchors are static given featmap shapes, so they are generated host-side in
+numpy once per (input-shape, level) and closed over by the jitted step —
+no device compute is wasted regenerating them.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ...utils.registry import PRIOR_GENERATORS
+
+
+@PRIOR_GENERATORS.register_module()
+class AnchorGenerator:
+
+    def __init__(self,
+                 strides: Sequence,
+                 ratios: Sequence[float],
+                 scales: Sequence[float] = None,
+                 base_sizes: Sequence[int] = None,
+                 scale_major: bool = True,
+                 octave_base_scale: int = None,
+                 scales_per_octave: int = None,
+                 centers: Sequence[Tuple[float, float]] = None,
+                 center_offset: float = 0.):
+        self.strides = [s if isinstance(s, (tuple, list)) else (s, s) for s in strides]
+        self.base_sizes = ([min(s) for s in self.strides]
+                           if base_sizes is None else list(base_sizes))
+        assert scale_major, "scale_major=False is not supported (unused by ref configs)"
+        if octave_base_scale is not None and scales_per_octave is not None:
+            octave_scales = np.array(
+                [2**(i / scales_per_octave) for i in range(scales_per_octave)])
+            self.scales = octave_scales * octave_base_scale
+        else:
+            self.scales = np.asarray(scales, dtype=np.float32)
+        self.ratios = np.asarray(ratios, dtype=np.float32)
+        self.scale_major = scale_major
+        self.centers = centers
+        self.center_offset = center_offset
+        self.base_anchors = self.gen_base_anchors()
+
+    @property
+    def num_base_anchors(self) -> List[int]:
+        return [a.shape[0] for a in self.base_anchors]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.strides)
+
+    def gen_base_anchors(self) -> List[np.ndarray]:
+        multi_level = []
+        for i, base_size in enumerate(self.base_sizes):
+            center = None if self.centers is None else self.centers[i]
+            multi_level.append(
+                self.gen_single_level_base_anchors(base_size, self.scales,
+                                                   self.ratios, center))
+        return multi_level
+
+    def gen_single_level_base_anchors(self, base_size, scales, ratios, center=None):
+        w = h = float(base_size)
+        if center is None:
+            x_center = self.center_offset * w
+            y_center = self.center_offset * h
+        else:
+            x_center, y_center = center
+        h_ratios = np.sqrt(ratios)
+        w_ratios = 1 / h_ratios
+        # scale_major: ws = (w * w_ratios[:, None] * scales[None, :]).ravel()
+        ws = (w * w_ratios[:, None] * scales[None, :]).reshape(-1)
+        hs = (h * h_ratios[:, None] * scales[None, :]).reshape(-1)
+        base_anchors = np.stack([
+            x_center - 0.5 * ws, y_center - 0.5 * hs,
+            x_center + 0.5 * ws, y_center + 0.5 * hs
+        ], axis=-1)
+        return base_anchors.astype(np.float32)
+
+    def grid_priors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[np.ndarray]:
+        """Per-level anchors, shape (H*W*A, 4), location-major."""
+        assert len(featmap_sizes) == self.num_levels
+        return [
+            self.single_level_grid_priors(featmap_sizes[i], i)
+            for i in range(self.num_levels)
+        ]
+
+    def single_level_grid_priors(self, featmap_size, level_idx) -> np.ndarray:
+        feat_h, feat_w = featmap_size
+        stride_w, stride_h = self.strides[level_idx]
+        shift_x = np.arange(0, feat_w, dtype=np.float32) * stride_w
+        shift_y = np.arange(0, feat_h, dtype=np.float32) * stride_h
+        shift_xx = np.tile(shift_x, feat_h)
+        shift_yy = np.repeat(shift_y, feat_w)
+        shifts = np.stack([shift_xx, shift_yy, shift_xx, shift_yy], axis=-1)
+        base = self.base_anchors[level_idx]
+        all_anchors = base[None, :, :] + shifts[:, None, :]
+        return all_anchors.reshape(-1, 4).astype(np.float32)
+
+    def valid_flags(self, featmap_sizes, pad_shape) -> List[np.ndarray]:
+        """Per-level bool flags for anchors whose center cell lies inside the
+        (unpadded) image region (reference anchor_generator.py valid_flags)."""
+        assert len(featmap_sizes) == self.num_levels
+        multi_level_flags = []
+        for i in range(self.num_levels):
+            feat_h, feat_w = featmap_sizes[i]
+            h, w = pad_shape[:2]
+            valid_feat_h = min(int(np.ceil(h / self.strides[i][1])), feat_h)
+            valid_feat_w = min(int(np.ceil(w / self.strides[i][0])), feat_w)
+            valid_x = np.zeros(feat_w, dtype=bool)
+            valid_y = np.zeros(feat_h, dtype=bool)
+            valid_x[:valid_feat_w] = True
+            valid_y[:valid_feat_h] = True
+            valid = (valid_y[:, None] & valid_x[None, :]).reshape(-1)
+            valid = np.repeat(valid, self.num_base_anchors[i])
+            multi_level_flags.append(valid)
+        return multi_level_flags
+
+    def __repr__(self):
+        return (f"AnchorGenerator(strides={self.strides}, scales={self.scales.tolist()}, "
+                f"ratios={self.ratios.tolist()})")

@@ -1,0 +1,214 @@
+"""Assigner + sampler as static-shape masked jnp ops (jit-safe).
+
+Replaces the reference's dynamic-shaped MaxIoUAssigner
+(mmdet/core/bbox/assigners/max_iou_assigner.py:11) and RandomSampler
+(mmdet/core/bbox/samplers/random_sampler.py:9) with fixed-size vectorized
+equivalents: ragged index lists become masks and randomized top-k ranks.
+
+Assignment codes match mmdet: -1 = ignore, 0 = negative, j+1 = matched gt j.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.registry import BBOX_ASSIGNERS, BBOX_SAMPLERS
+from .geometry import bbox_overlaps
+
+
+class AssignResult(NamedTuple):
+    gt_inds: jnp.ndarray       # (N,) int32: -1 ignore / 0 neg / j+1 pos
+    max_overlaps: jnp.ndarray  # (N,) float32
+    labels: jnp.ndarray        # (N,) int32 gt label of match, -1 otherwise
+
+
+class SamplingResult(NamedTuple):
+    """Fixed-size sample of ``num`` boxes: positives first, then negatives.
+
+    ``inds`` indexes into the candidate box array; entries beyond
+    ``pos+neg`` count are arbitrary but masked by ``valid``.
+    """
+    inds: jnp.ndarray        # (num,) int32 indices into candidates
+    is_pos: jnp.ndarray      # (num,) bool
+    valid: jnp.ndarray       # (num,) bool (always all-true when enough negs)
+    gt_inds: jnp.ndarray     # (num,) int32 assigned code (gathered)
+    labels: jnp.ndarray      # (num,) int32 matched gt labels (gathered)
+
+
+@BBOX_ASSIGNERS.register_module()
+class MaxIoUAssigner:
+    """Static-shape MaxIoU assignment.
+
+    Args mirror the reference config schema
+    (configs/_base_/models/faster_rcnn_r50_fpn.py train_cfg.rpn.assigner).
+    """
+
+    def __init__(self,
+                 pos_iou_thr: float,
+                 neg_iou_thr,
+                 min_pos_iou: float = .0,
+                 gt_max_assign_all: bool = True,
+                 ignore_iof_thr: float = -1,
+                 ignore_wrt_candidates: bool = True,
+                 match_low_quality: bool = True,
+                 gpu_assign_thr: int = -1,
+                 iou_calculator: Optional[dict] = None):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou
+        self.gt_max_assign_all = gt_max_assign_all
+        self.ignore_iof_thr = ignore_iof_thr
+        self.ignore_wrt_candidates = ignore_wrt_candidates
+        self.match_low_quality = match_low_quality
+
+    def assign(self,
+               bboxes: jnp.ndarray,
+               gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None,
+               box_valid: Optional[jnp.ndarray] = None) -> AssignResult:
+        """Assign each of N candidate boxes to one of G (padded) gts.
+
+        Args:
+            bboxes: (N, 4); gt_bboxes: (G, 4); gt_valid: (G,) bool;
+            gt_labels: (G,) int32; box_valid: (N,) bool — invalid candidates
+            (padding / out-of-image anchors) are assigned -1 (ignore).
+        """
+        ious = bbox_overlaps(bboxes, gt_bboxes)          # (N, G)
+        ious = jnp.where(gt_valid[None, :], ious, -1.0)  # mask padded gts
+        return self.assign_from_ious(ious, gt_valid, gt_labels, box_valid)
+
+    def assign_from_ious(self, ious, gt_valid, gt_labels=None, box_valid=None) -> AssignResult:
+        N, G = ious.shape
+        max_overlaps = jnp.max(ious, axis=1)             # (N,)
+        argmax_overlaps = jnp.argmax(ious, axis=1)       # (N,)
+
+        # start: everything ignored
+        assigned = jnp.full((N,), -1, dtype=jnp.int32)
+        # negatives
+        if isinstance(self.neg_iou_thr, (tuple, list)):
+            lo, hi = self.neg_iou_thr
+            neg = (max_overlaps >= lo) & (max_overlaps < hi)
+        else:
+            neg = (max_overlaps >= 0) & (max_overlaps < self.neg_iou_thr)
+        assigned = jnp.where(neg, 0, assigned)
+        # positives by threshold
+        pos = max_overlaps >= self.pos_iou_thr
+        assigned = jnp.where(pos, argmax_overlaps.astype(jnp.int32) + 1, assigned)
+
+        if self.match_low_quality:
+            # For each gt j: boxes with iou == per-gt max (>= min_pos_iou)
+            # get assigned to j. Reference iterates j in order with
+            # overwrite, so the highest j wins — expressed as a max.
+            gt_max = jnp.max(ious, axis=0)               # (G,)
+            cond = (ious == gt_max[None, :]) & gt_valid[None, :] & (
+                gt_max[None, :] >= self.min_pos_iou) & (gt_max[None, :] > 0)
+            if not self.gt_max_assign_all:
+                # only the single argmax box per gt
+                gt_argmax = jnp.argmax(ious, axis=0)     # (G,)
+                row_ids = jnp.arange(N)[:, None]
+                cond = cond & (row_ids == gt_argmax[None, :])
+            gt_ids = jnp.arange(1, G + 1, dtype=jnp.int32)[None, :]
+            override = jnp.max(jnp.where(cond, gt_ids, 0), axis=1)  # (N,)
+            assigned = jnp.where(override > 0, override, assigned)
+
+        if box_valid is not None:
+            assigned = jnp.where(box_valid, assigned, -1)
+
+        if gt_labels is not None:
+            matched = jnp.clip(assigned - 1, 0, G - 1)
+            labels = jnp.where(assigned > 0, gt_labels[matched], -1).astype(jnp.int32)
+        else:
+            labels = jnp.full((N,), -1, dtype=jnp.int32)
+        return AssignResult(assigned, max_overlaps, labels)
+
+
+def _random_rank(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
+    """Rank (0-based) of each True element in a uniformly random order;
+    False elements get rank >= num_true."""
+    n = mask.shape[0]
+    scores = jax.random.uniform(key, (n,)) + jnp.where(mask, 0.0, 2.0)
+    order = jnp.argsort(scores)               # True elems first, random order
+    ranks = jnp.zeros(n, dtype=jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return ranks
+
+
+@BBOX_SAMPLERS.register_module()
+class RandomSampler:
+    """Static-shape random pos/neg sampling.
+
+    Matches reference RandomSampler semantics: sample up to
+    ``num * pos_fraction`` positives, fill the rest with random negatives.
+    ``add_gt_as_proposals`` is handled by the caller (gt boxes are
+    concatenated to the candidate set before assignment — equivalent to the
+    reference's in-sampler concat since a gt box assigns to itself).
+    """
+
+    def __init__(self, num: int, pos_fraction: float, neg_pos_ub: int = -1,
+                 add_gt_as_proposals: bool = True, **kwargs):
+        self.num = num
+        self.pos_fraction = pos_fraction
+        self.neg_pos_ub = neg_pos_ub
+        self.add_gt_as_proposals = add_gt_as_proposals
+
+    def sample(self, key: jax.Array, assign: AssignResult) -> SamplingResult:
+        num = self.num
+        max_pos = int(round(num * self.pos_fraction))
+        is_pos_all = assign.gt_inds > 0
+        is_neg_all = assign.gt_inds == 0
+        kp, kn = jax.random.split(key)
+
+        pos_rank = _random_rank(kp, is_pos_all)
+        pos_sel = is_pos_all & (pos_rank < max_pos)
+        num_pos = jnp.sum(pos_sel)
+
+        neg_needed = num - num_pos
+        if self.neg_pos_ub >= 0:
+            neg_needed = jnp.minimum(neg_needed, self.neg_pos_ub * jnp.maximum(num_pos, 1))
+        neg_rank = _random_rank(kn, is_neg_all)
+        neg_sel = is_neg_all & (neg_rank < neg_needed)
+
+        # Fixed-size gather: selected positives (random order), then selected
+        # negatives, then the rest; take first ``num``.
+        sort_key = jnp.where(pos_sel, pos_rank.astype(jnp.float32),
+                             jnp.where(neg_sel, 1e4 + neg_rank.astype(jnp.float32),
+                                       1e8 + jnp.arange(assign.gt_inds.shape[0], dtype=jnp.float32)))
+        inds = jnp.argsort(sort_key)[:num].astype(jnp.int32)
+        is_pos = pos_sel[inds]
+        valid = (pos_sel | neg_sel)[inds]
+        return SamplingResult(
+            inds=inds,
+            is_pos=is_pos,
+            valid=valid,
+            gt_inds=assign.gt_inds[inds],
+            labels=assign.labels[inds],
+        )
+
+    def sample_masks(self, key: jax.Array, assign: AssignResult) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Mask-only variant (no gather) for dense heads: returns
+        (pos_mask, neg_mask) over all N candidates."""
+        num = self.num
+        max_pos = int(round(num * self.pos_fraction))
+        is_pos_all = assign.gt_inds > 0
+        is_neg_all = assign.gt_inds == 0
+        kp, kn = jax.random.split(key)
+        pos_rank = _random_rank(kp, is_pos_all)
+        pos_sel = is_pos_all & (pos_rank < max_pos)
+        neg_needed = num - jnp.sum(pos_sel)
+        neg_rank = _random_rank(kn, is_neg_all)
+        neg_sel = is_neg_all & (neg_rank < neg_needed)
+        return pos_sel, neg_sel
+
+
+@BBOX_SAMPLERS.register_module()
+class PseudoSampler:
+    """All positives + all negatives, no subsampling (reference
+    mmdet/core/bbox/samplers/pseudo_sampler.py)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def sample_masks(self, key, assign: AssignResult):
+        return assign.gt_inds > 0, assign.gt_inds == 0
