@@ -1,0 +1,149 @@
+"""PIL-exact photometric ops as jnp LUT kernels (jit-safe, vmappable).
+
+Reimplements the Pillow C operators the reference's AugMix/OA-Mix chain calls
+(reference mmdet/datasets/pipelines/augmix.py:64-212):
+``ImageOps.autocontrast/equalize/posterize/solarize/invert`` and
+``ImageEnhance.Color/Contrast/Brightness/Sharpness``. Bit-matching PIL's
+integer semantics is a stated fidelity goal (SURVEY.md §2.4), so each op
+follows the exact Pillow histogram / truncation arithmetic:
+
+- autocontrast: LUT ``clip(trunc(i*scale + offset))`` from nonzero histogram
+  extremes (PIL ImageOps.autocontrast, cutoff=0).
+- equalize: ``lut[i] = (step//2 + cumsum_{j<i} h[j]) // step`` with
+  ``step = (sum(h) - h[last nonzero]) // 255`` (PIL ImageOps.equalize).
+- enhance ops: ``out = trunc(degenerate + factor*(img - degenerate))``
+  clipped, per Pillow's ImagingBlend cast; degenerate images follow PIL
+  (grayscale via the 16-bit fixed-point L conversion, mean-gray, black,
+  SMOOTH-filtered with 1px border passthrough).
+
+Inputs are float32 (H, W, 3) holding uint8 values [0..255]; outputs the same.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "autocontrast", "equalize", "posterize", "solarize", "invert",
+    "grayscale_l", "enhance_color", "enhance_contrast", "enhance_brightness",
+    "enhance_sharpness",
+]
+
+
+def _histogram_per_channel(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) uint8-valued -> (C, 256) counts."""
+    x = jnp.clip(img, 0, 255).astype(jnp.int32)
+    c = x.shape[-1]
+    flat = x.reshape(-1, c).T                                   # (C, N)
+    def hist1(v):
+        return jnp.zeros((256,), jnp.int32).at[v].add(1)
+    return jax.vmap(hist1)(flat)
+
+
+def _apply_lut(img: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-channel LUT (C, 256) to (H, W, C)."""
+    x = jnp.clip(img, 0, 255).astype(jnp.int32)
+    c = x.shape[-1]
+    out = jnp.stack([lut[i][x[..., i]] for i in range(c)], axis=-1)
+    return out.astype(jnp.float32)
+
+
+def autocontrast(img: jnp.ndarray) -> jnp.ndarray:
+    hist = _histogram_per_channel(img)                          # (C, 256)
+    idx = jnp.arange(256)
+    nz = hist > 0
+    lo = jnp.min(jnp.where(nz, idx[None, :], 256), axis=1)      # (C,)
+    hi = jnp.max(jnp.where(nz, idx[None, :], -1), axis=1)
+    span = (hi - lo).astype(jnp.float32)
+    scale = 255.0 / jnp.where(span > 0, span, 1.0)
+    offset = -lo.astype(jnp.float32) * scale
+    ramp = idx[None, :].astype(jnp.float32) * scale[:, None] + offset[:, None]
+    lut = jnp.clip(jnp.trunc(ramp), 0, 255).astype(jnp.float32)
+    ident = idx[None, :].astype(jnp.float32)
+    lut = jnp.where((hi > lo)[:, None], lut, ident)
+    return _apply_lut(img, lut)
+
+
+def equalize(img: jnp.ndarray) -> jnp.ndarray:
+    hist = _histogram_per_channel(img)
+    idx = jnp.arange(256)
+    nz = hist > 0
+    n_nz = jnp.sum(nz, axis=1)                                  # (C,)
+    last_idx = jnp.max(jnp.where(nz, idx[None, :], -1), axis=1)
+    h_last = jnp.take_along_axis(hist, jnp.clip(last_idx, 0)[:, None], axis=1)[:, 0]
+    total = jnp.sum(hist, axis=1)
+    step = (total - h_last) // 255                              # (C,)
+    cum_before = jnp.concatenate(
+        [jnp.zeros((hist.shape[0], 1), jnp.int32), jnp.cumsum(hist, axis=1)[:, :-1]], axis=1)
+    step_safe = jnp.where(step > 0, step, 1)
+    lut = jnp.clip((step_safe[:, None] // 2 + cum_before) // step_safe[:, None], 0, 255)
+    ident = idx[None, :]
+    use_ident = (n_nz <= 1) | (step == 0)
+    lut = jnp.where(use_ident[:, None], ident, lut).astype(jnp.float32)
+    return _apply_lut(img, lut)
+
+
+def posterize(img: jnp.ndarray, bits) -> jnp.ndarray:
+    """Keep ``bits`` high bits per channel. ``bits`` may be traced (1..8)."""
+    mask = (255 << (8 - jnp.asarray(bits, jnp.int32))) & 255
+    x = jnp.clip(img, 0, 255).astype(jnp.int32)
+    return (x & mask).astype(jnp.float32)
+
+
+def solarize(img: jnp.ndarray, threshold) -> jnp.ndarray:
+    """Invert pixels >= threshold. ``threshold`` may be traced (0..256)."""
+    x = jnp.clip(img, 0, 255)
+    return jnp.where(x < threshold, x, 255.0 - x)
+
+
+def invert(img: jnp.ndarray) -> jnp.ndarray:
+    return 255.0 - jnp.clip(img, 0, 255)
+
+
+def grayscale_l(img: jnp.ndarray) -> jnp.ndarray:
+    """PIL 'L' conversion: (R*19595 + G*38470 + B*7471 + 0x8000) >> 16,
+    returning (H, W) uint8-valued float. Channel order is RGB."""
+    x = jnp.clip(img, 0, 255).astype(jnp.int32)
+    l = (x[..., 0] * 19595 + x[..., 1] * 38470 + x[..., 2] * 7471 + 0x8000) >> 16
+    return l.astype(jnp.float32)
+
+
+def _blend(degenerate: jnp.ndarray, img: jnp.ndarray, factor) -> jnp.ndarray:
+    out = degenerate + jnp.asarray(factor, jnp.float32) * (img - degenerate)
+    return jnp.clip(jnp.trunc(out), 0, 255)
+
+
+def enhance_color(img: jnp.ndarray, factor) -> jnp.ndarray:
+    gray = grayscale_l(img)[..., None]
+    return _blend(jnp.broadcast_to(gray, img.shape), img, factor)
+
+
+def enhance_contrast(img: jnp.ndarray, factor) -> jnp.ndarray:
+    gray = grayscale_l(img)
+    mean = jnp.floor(jnp.mean(gray) + 0.5)                      # PIL int(mean+.5)
+    return _blend(jnp.full_like(img, mean), img, factor)
+
+
+def enhance_brightness(img: jnp.ndarray, factor) -> jnp.ndarray:
+    return _blend(jnp.zeros_like(img), img, factor)
+
+
+_SMOOTH = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
+
+
+def enhance_sharpness(img: jnp.ndarray, factor) -> jnp.ndarray:
+    x = jnp.clip(img, 0, 255)
+    c = x.shape[-1]
+    xc = x.transpose(2, 0, 1)[:, None]                          # channels -> batch: (C,1,H,W)
+    k = jnp.asarray(_SMOOTH).reshape(1, 1, 3, 3)
+    sm = jax.lax.conv_general_dilated(
+        xc, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    sm = jnp.clip(jnp.floor(sm[:, 0].transpose(1, 2, 0) + 0.5), 0, 255)
+    # PIL's 3x3 filter leaves a 1px border copied from the source image.
+    h, w = x.shape[0], x.shape[1]
+    ri = jnp.arange(h)[:, None, None]
+    ci = jnp.arange(w)[None, :, None]
+    border = (ri == 0) | (ri == h - 1) | (ci == 0) | (ci == w - 1)
+    degenerate = jnp.where(border, x, sm)
+    return _blend(degenerate, x, factor)

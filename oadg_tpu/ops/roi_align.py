@@ -1,0 +1,119 @@
+"""Static-shape RoIAlign for TPU (replaces mmcv.ops.RoIAlign CUDA kernel).
+
+The reference extracts 7x7 RoI features with
+``RoIAlign(output_size=7, sampling_ratio=0, aligned=True)`` (reference
+configs/_base_/models/faster_rcnn_r50_fpn.py:39 via
+mmdet/models/roi_heads/roi_extractors/base_roi_extractor.py:37).
+
+TPU-native design decisions:
+- All shapes static: a fixed number of RoIs per call; invalid RoIs are
+  processed anyway (garbage-in, masked-out downstream) — branch-free.
+- ``sampling_ratio=0`` means per-RoI adaptive grid (ceil(roi/out)) in the
+  CUDA kernel; data-dependent grid sizes defeat XLA, so we use a static
+  ``sampling_ratio`` (default 2), the standard TPU detector convention.
+  Numerics differ slightly from mmcv for large RoIs; training is unaffected.
+- Features are NHWC; the gather is expressed over a flattened (B*H*W, C)
+  table so one take covers the batch dimension, and RoIs are chunked through
+  ``lax.map`` to bound the transient gather memory.
+
+Gradients flow through the gathers (scatter-add under AD) — no custom VJP
+needed; XLA fuses the 4-tap interpolation.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["roi_align"]
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "spatial_scale", "chunk"))
+def roi_align(feats: jnp.ndarray,
+              rois: jnp.ndarray,
+              output_size: int = 7,
+              spatial_scale: float = 1.0,
+              sampling_ratio: int = 2,
+              aligned: bool = True,
+              chunk: int = 256) -> jnp.ndarray:
+    """RoIAlign on batched NHWC features.
+
+    Args:
+        feats: (B, H, W, C) feature map.
+        rois: (R, 5) [batch_idx, x1, y1, x2, y2] in input-image coordinates.
+        output_size: output bins per side (7 for RCNN heads, 14 for masks).
+        spatial_scale: feature stride reciprocal (e.g. 1/4 for FPN P2).
+        sampling_ratio: sample points per bin side (static; >=1).
+        aligned: half-pixel offset (mmcv aligned=True semantics).
+
+    Returns:
+        (R, output_size, output_size, C) float32.
+    """
+    b, h, w, c = feats.shape
+    out = output_size
+    sr = max(int(sampling_ratio), 1)
+    offset = 0.5 if aligned else 0.0
+    table = feats.reshape(b * h * w, c)
+
+    r = rois.shape[0]
+    pad = (-r) % chunk
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+
+    def one_chunk(rois_c):
+        bidx = rois_c[:, 0].astype(jnp.int32)                   # (Rc,)
+        x1 = rois_c[:, 1] * spatial_scale - offset
+        y1 = rois_c[:, 2] * spatial_scale - offset
+        x2 = rois_c[:, 3] * spatial_scale - offset
+        y2 = rois_c[:, 4] * spatial_scale - offset
+        roi_w = x2 - x1
+        roi_h = y2 - y1
+        if not aligned:                                         # legacy clamp
+            roi_w = jnp.maximum(roi_w, 1.0)
+            roi_h = jnp.maximum(roi_h, 1.0)
+        bin_w = roi_w / out
+        bin_h = roi_h / out
+        # sample coords: (Rc, out*sr) per axis
+        grid = (jnp.arange(out * sr, dtype=jnp.float32).reshape(out, sr))
+        frac = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr   # within-bin
+        pos = jnp.arange(out, dtype=jnp.float32)[:, None] + frac[None, :]  # (out, sr)
+        xs = x1[:, None, None] + pos[None] * bin_w[:, None, None]
+        ys = y1[:, None, None] + pos[None] * bin_h[:, None, None]
+        xs = xs.reshape(-1, out * sr)                           # (Rc, S)
+        ys = ys.reshape(-1, out * sr)
+
+        # CUDA bilinear_interpolate semantics: a sample point outside
+        # (-1, W) x (-1, H) contributes zero; otherwise the point is clamped
+        # into [0, size-1] and the high tap saturates at the edge.
+        okx = (xs > -1.0) & (xs < w)
+        oky = (ys > -1.0) & (ys < h)
+        px = jnp.clip(xs, 0.0, w - 1)
+        py = jnp.clip(ys, 0.0, h - 1)
+        x0i = jnp.floor(px).astype(jnp.int32)
+        y0i = jnp.floor(py).astype(jnp.int32)
+        fx = px - x0i
+        fy = py - y0i
+        x1i = jnp.minimum(x0i + 1, w - 1)
+        y1i = jnp.minimum(y0i + 1, h - 1)
+
+        def gather(yi, xi):
+            lin = (bidx[:, None, None] * h + yi[:, :, None]) * w + xi[:, None, :]
+            vals = jnp.take(table, lin.reshape(-1), axis=0)
+            return vals.reshape(xi.shape[0], yi.shape[1], xi.shape[1], c)
+
+        v00 = gather(y0i, x0i)
+        v01 = gather(y0i, x1i)
+        v10 = gather(y1i, x0i)
+        v11 = gather(y1i, x1i)
+        wx = fx[:, None, :, None]
+        wy = fy[:, :, None, None]
+        val = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
+               + (v10 * (1 - wx) + v11 * wx) * wy)              # (Rc, S, S, C)
+        ok = (oky[:, :, None] & okx[:, None, :])[..., None]
+        val = jnp.where(ok, val, 0.0)
+        val = val.reshape(-1, out, sr, out, sr, c)
+        return jnp.mean(val, axis=(2, 4))                       # (Rc, out, out, C)
+
+    chunks = rois_p.reshape(-1, chunk, 5)
+    res = jax.lax.map(one_chunk, chunks)
+    return res.reshape(-1, out, out, c)[:r]

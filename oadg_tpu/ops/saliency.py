@@ -1,0 +1,97 @@
+"""Spectral-residual saliency as an FFT kernel (jit-safe, vmappable).
+
+Replaces OpenCV-contrib's ``cv2.saliency.StaticSaliencySpectralResidual``
+used by OA-Mix to score foreground regions (reference
+mmdet/datasets/pipelines/oa_mix.py:108-110). Follows the OpenCV
+implementation (Hou & Zhang, CVPR'07 as implemented in opencv_contrib
+saliencySpecializedClasses.cpp):
+
+1. resize input to 64x64, convert to grayscale;
+2. FFT -> log-amplitude; spectral residual = log-amp − 3x3 box blur;
+3. recombine exp(residual) with the original phase, inverse FFT;
+4. squared magnitude -> GaussianBlur(ksize=(5,5), sigma=8) -> min-max
+   normalize to [0, 1].
+
+OA-Mix reduces the map to ``mean(uint8(map*255))`` per box and gates on
+``score <= 10``; the mean is taken here over the 64x64 map (the reference
+resizes back to the crop first — a mean-preserving step up to interpolation).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .image_ops import box_blur3, gaussian_kernel1d, _sep_conv
+
+__all__ = ["spectral_residual_saliency", "saliency_score", "crop_resize_gray"]
+
+_SIZE = 64
+
+
+def crop_resize_gray(img: jnp.ndarray, box: jnp.ndarray,
+                     bgr: bool = True) -> jnp.ndarray:
+    """Extract ``box`` = [x1, y1, x2, y2] (int-valued, traced) from
+    (H, W, 3) and resize to (64, 64) grayscale via a bilinear gather.
+
+    Static-shape equivalent of ``img[y1:y2, x1:x2]`` + cv2 resize: sample the
+    64x64 half-pixel-center grid directly from the crop's coordinate range.
+    """
+    if bgr:
+        w = jnp.asarray([0.114, 0.587, 0.299], img.dtype)
+    else:
+        w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    gray = img @ w                                               # (H, W)
+    x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+    bw = jnp.maximum(x2 - x1, 1).astype(jnp.float32)
+    bh = jnp.maximum(y2 - y1, 1).astype(jnp.float32)
+    sx = bw / _SIZE
+    sy = bh / _SIZE
+    u = (jnp.arange(_SIZE, dtype=jnp.float32) + 0.5) * sx - 0.5 + x1  # crop -> img space
+    v = (jnp.arange(_SIZE, dtype=jnp.float32) + 0.5) * sy - 0.5 + y1
+    # clamp inside the crop (cv2.resize clamps at crop edges, not image edges)
+    u = jnp.clip(u, x1, x2 - 1)
+    v = jnp.clip(v, y1, y2 - 1)
+    u0 = jnp.floor(u); fv_u = u - u0
+    v0 = jnp.floor(v); fv_v = v - v0
+    h, wth = gray.shape
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, wth - 1)
+    u1i = jnp.clip(u0i + 1, 0, wth - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
+    v1i = jnp.clip(v0i + 1, 0, h - 1)
+    g00 = gray[v0i[:, None], u0i[None, :]]
+    g01 = gray[v0i[:, None], u1i[None, :]]
+    g10 = gray[v1i[:, None], u0i[None, :]]
+    g11 = gray[v1i[:, None], u1i[None, :]]
+    top = g00 * (1 - fv_u)[None, :] + g01 * fv_u[None, :]
+    bot = g10 * (1 - fv_u)[None, :] + g11 * fv_u[None, :]
+    return top * (1 - fv_v)[:, None] + bot * fv_v[:, None]
+
+
+def spectral_residual_saliency(gray64: jnp.ndarray) -> jnp.ndarray:
+    """(64, 64) grayscale -> (64, 64) saliency map in [0, 1]."""
+    f = jnp.fft.fft2(gray64.astype(jnp.float32))
+    mag = jnp.abs(f)
+    phase = jnp.angle(f)
+    log_amp = jnp.log(jnp.maximum(mag, 1e-12))
+    blurred = box_blur3(log_amp[..., None])[..., 0]
+    residual = log_amp - blurred
+    combined = jnp.exp(residual) * jnp.exp(1j * phase)
+    sal = jnp.abs(jnp.fft.ifft2(combined)) ** 2
+    k = gaussian_kernel1d(8.0, 5)
+    sal = _sep_conv(sal[..., None], k, k)[..., 0]
+    lo = jnp.min(sal)
+    hi = jnp.max(sal)
+    return (sal - lo) / jnp.maximum(hi - lo, 1e-12)
+
+
+def saliency_score(img: jnp.ndarray, box: jnp.ndarray,
+                   min_size: int = 4, bgr: bool = True) -> jnp.ndarray:
+    """Per-box OA-Mix saliency score: ``mean(uint8(map * 255))``; boxes
+    smaller than ``min_size`` (= spatial_ratio, oa_mix.py:103) score -1."""
+    boxi = jnp.asarray(box, jnp.int32)
+    gray = crop_resize_gray(img, boxi, bgr=bgr)
+    sal = spectral_residual_saliency(gray)
+    score = jnp.mean(jnp.floor(sal * 255.0).astype(jnp.float32))
+    too_small = ((boxi[2] - boxi[0]) < min_size) | ((boxi[3] - boxi[1]) < min_size)
+    return jnp.where(too_small, -1.0, score)
