@@ -1,0 +1,154 @@
+"""ResNet backbone family (flax.linen, NHWC).
+
+Same capability surface as the reference backbone
+(mmdet/models/backbones/resnet.py:306): depths 18/34/50/101/152,
+``pytorch``/``caffe`` block styles (stride placement in the bottleneck),
+per-stage strides/dilations (the DC5 variant uses strides=(1,2,2,1),
+dilations=(1,1,1,2), reference configs/_base_/models/faster_rcnn_r50_caffe_dc5.py:9),
+``out_indices``, ``deep_stem``, ``avg_down``, and ``frozen_stages``.
+
+TPU-native differences:
+- NHWC layout with bf16-friendly compute; BN is frozen-statistics affine
+  (see models/layers.py) matching ``norm_eval=True`` training.
+- ``frozen_stages`` does not gate module construction — freezing is a
+  gradient mask applied in the optimizer (engine/optim.py), which keeps the
+  forward graph static and lets XLA fuse freely.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...utils.registry import BACKBONES
+from ..layers import Conv, FrozenBN, build_norm, max_pool_3x3_s2
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    style: str = "pytorch"
+    norm_cfg: Optional[dict] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        identity = x
+        out = Conv(self.planes, 3, self.stride, self.dilation,
+                   dilation=self.dilation, use_bias=False, dtype=self.dtype,
+                   name="conv1")(x)
+        out = norm()(out)
+        out = nn.relu(out)
+        out = Conv(self.planes, 3, 1, 1, use_bias=False, dtype=self.dtype,
+                   name="conv2")(out)
+        out = norm()(out)
+        if self.downsample:
+            identity = Conv(self.planes, 1, self.stride, 0, use_bias=False,
+                            dtype=self.dtype, name="downsample_conv")(x)
+            identity = norm()(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    style: str = "pytorch"
+    norm_cfg: Optional[dict] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        # caffe style puts the stride on the 1x1 conv, pytorch on the 3x3
+        # (reference resnet.py Bottleneck.conv1_stride/conv2_stride).
+        s1, s2 = (self.stride, 1) if self.style == "caffe" else (1, self.stride)
+        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        identity = x
+        out = Conv(self.planes, 1, s1, 0, use_bias=False, dtype=self.dtype,
+                   name="conv1")(x)
+        out = norm()(out)
+        out = nn.relu(out)
+        out = Conv(self.planes, 3, s2, self.dilation, dilation=self.dilation,
+                   use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = norm()(out)
+        out = nn.relu(out)
+        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, dtype=self.dtype,
+                   name="conv3")(out)
+        out = norm()(out)
+        if self.downsample:
+            identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False,
+                            dtype=self.dtype, name="downsample_conv")(x)
+            identity = norm()(identity)
+        return nn.relu(out + identity)
+
+
+ARCH = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register_module()
+class ResNet(nn.Module):
+    """Config schema mirrors the reference (depth, num_stages, out_indices,
+    strides, dilations, style, frozen_stages, norm_cfg, norm_eval)."""
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    style: str = "pytorch"
+    deep_stem: bool = False
+    base_channels: int = 64
+    stem_channels: int = 64
+    frozen_stages: int = -1          # consumed by the optimizer mask
+    norm_cfg: Any = None
+    norm_eval: bool = True           # always true on TPU (frozen-stats BN)
+    init_cfg: Any = None             # checkpoint init handled by converter
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        block, stage_blocks = ARCH[self.depth]
+        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        if self.deep_stem:
+            for i, s in enumerate((2, 1, 1)):
+                x = Conv(self.stem_channels // (2 if i < 2 else 1), 3, s, 1,
+                         use_bias=False, dtype=self.dtype, name=f"stem_conv{i+1}")(x)
+                x = norm()(x)
+                x = nn.relu(x)
+        else:
+            x = Conv(self.stem_channels, 7, 2, 3, use_bias=False,
+                     dtype=self.dtype, name="conv1")(x)
+            x = norm()(x)
+            x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+
+        outs = []
+        expansion = 4 if block is Bottleneck else 1
+        for i in range(self.num_stages):
+            planes = self.base_channels * 2 ** i
+            for j in range(stage_blocks[i]):
+                stride = self.strides[i] if j == 0 else 1
+                downsample = j == 0 and (stride != 1 or
+                                         x.shape[-1] != planes * expansion)
+                x = block(planes, stride, self.dilations[i], downsample,
+                          self.style, self.norm_cfg or dict(type="BN"),
+                          self.dtype, name=f"layer{i+1}_{j}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+
+@BACKBONES.register_module()
+class ResNetV1d(ResNet):
+    """ResNet with deep stem + avg-down (reference resnet.py ResNetV1d)."""
+    deep_stem: bool = True

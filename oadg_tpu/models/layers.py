@@ -1,0 +1,129 @@
+"""Shared NN building blocks (flax.linen, NHWC, torch-faithful padding).
+
+Replaces mmcv's ConvModule / norm layers used throughout the reference's
+model zoo. Convolutions use explicit symmetric padding to bit-match torch's
+Conv2d semantics (XLA 'SAME' pads asymmetrically for stride 2, which would
+shift features by one pixel versus the reference at borders).
+
+Norm policy: the reference trains detection models with frozen-statistics
+BatchNorm (``norm_eval=True``, reference mmdet/models/backbones/resnet.py
+train()), so BN here is an affine transform using stored moving statistics —
+no cross-batch state, no syncBN collectives. Moving mean/var live in the
+``batch_stats`` collection (converted from torch checkpoints); scale/bias in
+``params``. Whether they receive gradients is decided by the optimizer mask
+(see engine/optim.py), mirroring ``norm_cfg=dict(requires_grad=...)``.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class Conv(nn.Module):
+    """torch-compatible Conv2d on NHWC: explicit symmetric padding."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _pair(self.kernel_size)
+        p = _pair(self.padding)
+        return nn.Conv(self.features, k, strides=_pair(self.stride),
+                       padding=[(p[0], p[0]), (p[1], p[1])],
+                       kernel_dilation=_pair(self.dilation),
+                       use_bias=self.use_bias, dtype=self.dtype)(x)
+
+
+class FrozenBN(nn.Module):
+    """BatchNorm in eval mode: y = scale * (x - mean) / sqrt(var + eps) + bias.
+
+    Mean/var are non-trainable ``batch_stats`` variables; scale/bias are
+    params (frozen or not by the optimizer mask).
+    """
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean", jnp.zeros, (c,))
+        var = self.variable("batch_stats", "var", jnp.ones, (c,))
+        dt = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var.value.astype(jnp.float32) + self.eps)
+        w = (scale.astype(jnp.float32) * inv).astype(dt)
+        b = (bias.astype(jnp.float32)
+             - mean.value.astype(jnp.float32) * scale.astype(jnp.float32) * inv).astype(dt)
+        return x * w + b
+
+
+class GroupNorm32(nn.Module):
+    num_groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype)(x)
+
+
+def build_norm(norm_cfg: Optional[dict], dtype=None) -> Callable:
+    """norm_cfg dict (mmdet schema) -> linen module factory."""
+    if norm_cfg is None:
+        return lambda: (lambda x: x)
+    t = norm_cfg.get("type", "BN")
+    if t in ("BN", "SyncBN"):                 # syncBN: stats frozen anyway
+        return lambda: FrozenBN(dtype=dtype)
+    if t == "GN":
+        ng = norm_cfg.get("num_groups", 32)
+        return lambda: GroupNorm32(num_groups=ng, dtype=dtype)
+    raise NotImplementedError(f"norm type {t}")
+
+
+class ConvModule(nn.Module):
+    """mmcv ConvModule: conv -> norm -> act (order fixed to the common case)."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    norm_cfg: Optional[dict] = None
+    act: Optional[str] = "relu"
+    use_bias: Optional[bool] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        bias = (self.norm_cfg is None) if self.use_bias is None else self.use_bias
+        x = Conv(self.features, self.kernel_size, self.stride, self.padding,
+                 self.dilation, use_bias=bias, dtype=self.dtype, name="conv")(x)
+        if self.norm_cfg is not None:
+            x = build_norm(self.norm_cfg, self.dtype)()(x)
+        if self.act == "relu":
+            x = nn.relu(x)
+        elif self.act == "leaky_relu":
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        elif self.act is not None:
+            raise NotImplementedError(self.act)
+        return x
+
+
+def max_pool_3x3_s2(x):
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])

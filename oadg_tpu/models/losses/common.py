@@ -1,0 +1,210 @@
+"""Core loss primitives (pure jnp, static-shape, mask-weighted).
+
+Mirrors the reference's stock loss surface (mmdet/models/losses/): CE/BCE,
+SmoothL1/L1, focal, IoU-family, accuracy, plus the ``weight_reduce_loss``
+reduction contract (mmdet/models/losses/utils.py) that every mmdet loss
+follows: elementwise loss * weight, then mean/sum, optionally divided by an
+explicit ``avg_factor``.
+
+The reference's ragged indexing (``pred[pos_inds]``) becomes masked
+arithmetic here — every op keeps static shapes for XLA.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.registry import LOSSES
+
+
+def weight_reduce_loss(loss, weight=None, reduction: str = "mean",
+                       avg_factor=None):
+    if weight is not None:
+        loss = loss * weight
+    if reduction == "none":
+        return loss
+    if reduction == "sum":
+        return jnp.sum(loss)
+    # mean
+    if avg_factor is None:
+        if weight is None:
+            return jnp.mean(loss)
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(weight), 1e-12)
+    return jnp.sum(loss) / avg_factor
+
+
+def softmax_cross_entropy(logits, labels, ignore_index: int = -100):
+    """Per-row CE with integer labels; rows with ignore_index give 0."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, nll, 0.0)
+
+
+def binary_cross_entropy_with_logits(logits, targets):
+    """Elementwise BCE-with-logits (stable)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def smooth_l1(pred, target, beta: float = 1.0):
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+def l1(pred, target):
+    return jnp.abs(pred - target)
+
+
+def sigmoid_focal_loss(logits, targets_onehot, gamma: float = 2.0,
+                       alpha: float = 0.25):
+    """Elementwise focal loss (replaces mmcv CUDA sigmoid_focal_loss)."""
+    p = jax.nn.sigmoid(logits)
+    ce = binary_cross_entropy_with_logits(logits, targets_onehot)
+    p_t = p * targets_onehot + (1 - p) * (1 - targets_onehot)
+    a_t = alpha * targets_onehot + (1 - alpha) * (1 - targets_onehot)
+    return a_t * ce * (1 - p_t) ** gamma
+
+
+def accuracy(logits, labels, mask=None):
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == labels).astype(jnp.float32)
+    if mask is not None:
+        return 100.0 * jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return 100.0 * jnp.mean(correct)
+
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+    """Stock CE/BCE loss (reference mmdet/models/losses/cross_entropy_loss.py)."""
+
+    def __init__(self, use_sigmoid=False, use_mask=False, reduction="mean",
+                 class_weight=None, ignore_index=None, loss_weight=1.0, **kw):
+        self.use_sigmoid = use_sigmoid
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+        self.ignore_index = -100 if ignore_index is None else ignore_index
+
+    def __call__(self, cls_score, label, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        if self.use_sigmoid:
+            if cls_score.ndim != label.ndim:
+                nc = cls_score.shape[-1]
+                valid = (label >= 0) & (label != self.ignore_index)
+                onehot = jax.nn.one_hot(jnp.where(label < nc, label, -1), nc)
+                loss = binary_cross_entropy_with_logits(cls_score, onehot)
+                w = valid[..., None].astype(jnp.float32)
+                if weight is not None:
+                    w = w * weight[..., None]
+                return self.loss_weight * weight_reduce_loss(loss, w, red, avg_factor)
+            loss = binary_cross_entropy_with_logits(cls_score, label)
+        else:
+            loss = softmax_cross_entropy(cls_score, label, self.ignore_index)
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class SmoothL1Loss:
+    def __init__(self, beta=1.0, reduction="mean", loss_weight=1.0, **kw):
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        loss = smooth_l1(pred, target, self.beta)
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class L1Loss:
+    def __init__(self, reduction="mean", loss_weight=1.0, **kw):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        return self.loss_weight * weight_reduce_loss(l1(pred, target), weight,
+                                                     red, avg_factor)
+
+
+@LOSSES.register_module()
+class FocalLoss:
+    def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.25,
+                 reduction="mean", loss_weight=1.0, **kw):
+        assert use_sigmoid
+        self.gamma, self.alpha = gamma, alpha
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        nc = pred.shape[-1]
+        onehot = jax.nn.one_hot(target, nc)          # bg label (=nc) -> zeros
+        loss = sigmoid_focal_loss(pred, onehot, self.gamma, self.alpha)
+        if weight is not None and weight.ndim + 1 == loss.ndim:
+            weight = weight[..., None]
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class IoULoss:
+    def __init__(self, mode="log", eps=1e-6, reduction="mean", loss_weight=1.0,
+                 linear=False, **kw):
+        self.mode = "linear" if linear else mode
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def _loss(self, ious):
+        if self.mode == "linear":
+            return 1 - ious
+        if self.mode == "square":
+            return 1 - ious ** 2
+        return -jnp.log(jnp.maximum(ious, self.eps))
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        from ...core.bbox.geometry import bbox_overlaps
+        red = reduction_override or self.reduction
+        ious = bbox_overlaps(pred, target, is_aligned=True).clip(self.eps)
+        loss = self._loss(ious)
+        if weight is not None and weight.ndim > loss.ndim:
+            weight = weight[..., 0]
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class GIoULoss(IoULoss):
+    def __init__(self, eps=1e-6, reduction="mean", loss_weight=1.0, **kw):
+        super().__init__(eps=eps, reduction=reduction, loss_weight=loss_weight)
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        from ...core.bbox.geometry import bbox_overlaps
+        red = reduction_override or self.reduction
+        gious = bbox_overlaps(pred, target, mode="giou", is_aligned=True)
+        loss = 1 - gious
+        if weight is not None and weight.ndim > loss.ndim:
+            weight = weight[..., 0]
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class MSELoss:
+    def __init__(self, reduction="mean", loss_weight=1.0, **kw):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        return self.loss_weight * weight_reduce_loss(
+            (pred - target) ** 2, weight, red, avg_factor)

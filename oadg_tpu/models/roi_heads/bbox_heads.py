@@ -1,0 +1,176 @@
+"""RCNN box heads (flax.linen) + static-shape target/loss computation.
+
+Parity targets:
+- ``Shared2FCBBoxHead`` (reference
+  mmdet/models/roi_heads/bbox_heads/convfc_bbox_head.py:203): flatten 7x7
+  RoI features -> 2 shared FC(1024) -> linear cls (C+1) / reg (4C).
+- ``Shared2FCContrastiveHead`` (reference contrastive_head.py:353): adds the
+  contrastive branch ``fc_cont`` — an ``num_linear``-layer MLP to
+  ``feat_channels`` (cont_predictor_cfg, contrastive_head.py:252-263).
+- ``BBoxHead.loss`` / ``get_targets_with_absolute`` (bbox_head.py:328):
+  labels (bg = num_classes), label_weights 1 on sampled rows, encoded deltas
+  + weight 1 on positives; cls avg_factor = count(label_weights > 0), bbox
+  avg_factor = total row count — reproduced exactly, but with masks instead
+  of ragged ``pos_inds`` indexing.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.bbox.coder import DeltaXYWHBBoxCoder
+from ...utils.registry import HEADS, LOSSES, build_from_cfg
+from ..losses.common import accuracy
+
+
+def _coder_from_cfg(cfg) -> DeltaXYWHBBoxCoder:
+    c = dict(cfg or dict(target_means=(0., 0., 0., 0.),
+                         target_stds=(0.1, 0.1, 0.2, 0.2)))
+    c.pop("type", None)
+    return DeltaXYWHBBoxCoder(**c)
+
+
+@HEADS.register_module()
+class Shared2FCBBoxHead(nn.Module):
+    in_channels: int = 256
+    fc_out_channels: int = 1024
+    roi_feat_size: int = 7
+    num_classes: int = 80
+    num_shared_fcs: int = 2
+    bbox_coder: Any = None
+    reg_class_agnostic: bool = False
+    loss_cls: Any = None
+    loss_bbox: Any = None
+    with_cont: bool = False
+    cont_predictor_cfg: Any = None
+    loss_cont: Any = None            # consumed by ContrastiveRoIHead
+    dtype: Any = None
+
+    def setup(self):
+        self.coder = _coder_from_cfg(self.bbox_coder)
+        self.cls_loss = build_from_cfg(dict(self.loss_cls or dict(
+            type="CrossEntropyLoss", loss_weight=1.0)), LOSSES)
+        self.reg_loss = build_from_cfg(dict(self.loss_bbox or dict(
+            type="SmoothL1Loss", beta=1.0, loss_weight=1.0)), LOSSES)
+        self.shared_fcs = [nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                                    name=f"shared_fc{i}")
+                           for i in range(self.num_shared_fcs)]
+        self.fc_cls = nn.Dense(self.num_classes + 1, dtype=self.dtype)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        self.fc_reg = nn.Dense(reg_dim, dtype=self.dtype)
+        if self.with_cont:
+            cfg = dict(self.cont_predictor_cfg or dict(num_linear=2,
+                                                       feat_channels=256))
+            self.fc_cont = [nn.Dense(cfg.get("feat_channels", 256),
+                                     dtype=self.dtype, name=f"fc_cont{i}")
+                            for i in range(cfg.get("num_linear", 2))]
+
+    def __call__(self, roi_feats: jnp.ndarray):
+        """roi_feats (R, 7, 7, C) -> (cls (R, C+1), reg (R, 4C), cont | None)."""
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        for fc in self.shared_fcs:
+            x = nn.relu(fc(x))
+        cls_score = self.fc_cls(x)
+        bbox_pred = self.fc_reg(x)
+        cont = None
+        if self.with_cont:
+            h = x
+            for i, fc in enumerate(self.fc_cont):
+                h = fc(h)
+                if i < len(self.fc_cont) - 1:
+                    h = nn.relu(h)
+            cont = h
+        return cls_score, bbox_pred, cont
+
+    # ---------------- targets ----------------
+
+    def get_targets(self, sampled_boxes, sample_labels, sample_is_pos,
+                    sample_valid, matched_gt, pos_weight: float = -1.0):
+        """Per-image static targets (reference bbox_head.get_targets /
+        get_targets_with_absolute, bbox_head.py:328).
+
+        Args (all per image, leading dim = num_samples):
+            sampled_boxes: (S, 4) sampled proposals.
+            sample_labels: (S,) matched gt labels (valid for positives).
+            sample_is_pos / sample_valid: (S,) bool.
+            matched_gt: (S, 4) matched gt box per positive row.
+
+        Returns labels, label_weights, bbox_targets, bbox_weights.
+        """
+        s = sampled_boxes.shape[0]
+        labels = jnp.where(sample_is_pos, sample_labels, self.num_classes)
+        pw = 1.0 if pos_weight <= 0 else pos_weight
+        label_w = jnp.where(sample_valid,
+                            jnp.where(sample_is_pos, pw, 1.0), 0.0)
+        deltas = self.coder.encode(sampled_boxes, matched_gt)
+        bbox_w = (sample_is_pos.astype(jnp.float32))[:, None] * jnp.ones((1, 4))
+        return labels.astype(jnp.int32), label_w, deltas, bbox_w
+
+    # ---------------- loss ----------------
+
+    def loss(self, cls_score, bbox_pred, labels, label_weights, bbox_targets,
+             bbox_weights):
+        """Reference BBoxHead.loss semantics with masked regression rows."""
+        losses = {}
+        avg_factor = jnp.maximum(jnp.sum(label_weights > 0), 1.0)
+        losses["loss_cls"] = self.cls_loss(
+            cls_score.astype(jnp.float32), labels, label_weights,
+            avg_factor=avg_factor)
+        losses["acc"] = accuracy(cls_score, labels, (label_weights > 0).astype(jnp.float32))
+
+        r = bbox_pred.shape[0]
+        if self.reg_class_agnostic:
+            pos_pred = bbox_pred.reshape(r, 4)
+        else:
+            safe = jnp.clip(labels, 0, self.num_classes - 1)
+            pos_pred = jnp.take_along_axis(
+                bbox_pred.reshape(r, -1, 4), safe[:, None, None].repeat(4, -1),
+                axis=1)[:, 0]
+        # reference: loss over pos rows only, avg_factor = total rows
+        losses["loss_bbox"] = self.reg_loss(
+            pos_pred.astype(jnp.float32), bbox_targets, bbox_weights,
+            avg_factor=float(r))
+        return losses
+
+    # ---------------- inference ----------------
+
+    def get_bboxes(self, rois, cls_score, bbox_pred, img_shape, scale_factor,
+                   rescale: bool = False):
+        """Decode per-roi boxes + softmax scores (reference
+        bbox_head.get_bboxes). Returns (boxes (R, C*4 or 4), scores (R, C+1))."""
+        scores = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+        r = rois.shape[0]
+        if self.reg_class_agnostic:
+            boxes = self.coder.decode(rois[:, 1:5], bbox_pred, max_shape=img_shape)
+        else:
+            rep = jnp.repeat(rois[:, None, 1:5], self.num_classes, axis=1)
+            boxes = self.coder.decode(rep, bbox_pred.reshape(r, -1, 4),
+                                      max_shape=img_shape)
+        if rescale:
+            sf = jnp.asarray(scale_factor, jnp.float32).reshape(-1)[:4]
+            boxes = boxes / sf
+        return boxes.reshape(r, -1), scores
+
+
+@HEADS.register_module()
+class ContrastiveHead(Shared2FCBBoxHead):
+    """BBoxHead + contrastive branch (reference contrastive_head.py:16)."""
+    with_cont: bool = True
+    num_shared_fcs: int = 0
+
+
+@HEADS.register_module()
+class Shared2FCContrastiveHead(Shared2FCBBoxHead):
+    """2 shared FCs + cls/reg/cont branches (reference contrastive_head.py:353)."""
+    with_cont: bool = True
+    num_shared_fcs: int = 2
+
+
+@HEADS.register_module()
+class Shared4Conv1FCBBoxHead(Shared2FCBBoxHead):
+    """Registered for config compatibility; conv stack folded into FCs is NOT
+    equivalent — kept minimal until a config needs it (P2)."""
+    num_shared_fcs: int = 1

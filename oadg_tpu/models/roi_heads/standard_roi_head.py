@@ -1,0 +1,235 @@
+"""RoI heads: assignment/sampling + multilevel RoIAlign + box head.
+
+``StandardRoIHead`` reproduces reference
+mmdet/models/roi_heads/standard_roi_head.py:13 (assign -> sample ->
+_bbox_forward -> loss; simple_test via get_bboxes + multiclass NMS).
+
+``ContrastiveRoIHead`` reproduces reference contrastive_roi_head.py:11 —
+the OA-DG head: proposals are assigned/sampled ONLY for the first B (clean)
+images and the same sampled boxes are replicated across views
+(contrastive_roi_head.py:84-97), the box head additionally emits contrastive
+embeddings, random-proposal embeddings are concatenated
+(:139-142), and the loss adds the supervised-contrastive term.
+
+Static-shape policy: every per-image list becomes a padded (B, S, ...) array
+with masks; sampling uses randomized-rank top-k (core/bbox/assign_sample.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.bbox.assign_sample import MaxIoUAssigner, RandomSampler
+from ...core.post_processing.nms import multiclass_nms
+from ...ops.roi_align import roi_align_multilevel
+from ...utils.registry import HEADS, LOSSES, build_from_cfg
+
+
+@HEADS.register_module()
+class StandardRoIHead(nn.Module):
+    bbox_roi_extractor: Any = None
+    bbox_head: Any = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+    num_views: int = 1
+    dtype: Any = None
+
+    def setup(self):
+        bh = dict(self.bbox_head or {})
+        bh.pop("type", None)
+        head_type = (self.bbox_head or {}).get("type", "Shared2FCBBoxHead")
+        self.head = build_from_cfg(dict(type=head_type, **bh, dtype=self.dtype),
+                                   HEADS)
+        ext = dict(self.bbox_roi_extractor or {})
+        roi_layer = dict(ext.get("roi_layer", dict(output_size=7)))
+        self.roi_out_size = int(roi_layer.get("output_size", 7))
+        self.featmap_strides = tuple(ext.get("featmap_strides", (4, 8, 16, 32)))
+        self.finest_scale = int(ext.get("finest_scale", 56))
+        # sampling_ratio=0 in configs means adaptive in CUDA; static 2 here.
+        sr = int(roi_layer.get("sampling_ratio", 0))
+        self.sampling_ratio = sr if sr > 0 else 2
+        tc = dict(self.train_cfg or {})
+        asn = dict(tc.get("assigner", dict(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                           min_pos_iou=0.5,
+                                           match_low_quality=False)))
+        asn.pop("type", None)
+        self.assigner = MaxIoUAssigner(**asn)
+        smp = dict(tc.get("sampler", dict(num=512, pos_fraction=0.25)))
+        smp.pop("type", None)
+        self.add_gt_as_proposals = smp.pop("add_gt_as_proposals", True)
+        self.sampler = RandomSampler(**smp)
+        self.pos_weight = float(tc.get("pos_weight", -1))
+
+    # ---------------- shared pieces ----------------
+
+    def extract(self, feats, rois):
+        """Multilevel RoIAlign (R, 5) -> (R, out, out, C)."""
+        return roi_align_multilevel(
+            list(feats[: len(self.featmap_strides)]), rois,
+            output_size=self.roi_out_size,
+            featmap_strides=self.featmap_strides,
+            sampling_ratio=self.sampling_ratio,
+            finest_scale=self.finest_scale)
+
+    def _sample_one(self, key, proposals, prop_valid, gt, gt_valid, gt_labels):
+        """Assign + sample one clean image. Returns per-sample arrays of
+        length ``sampler.num``."""
+        if self.add_gt_as_proposals:
+            cand = jnp.concatenate([gt, proposals], axis=0)
+            cand_valid = jnp.concatenate([gt_valid, prop_valid], axis=0)
+        else:
+            cand = proposals
+            cand_valid = prop_valid
+        assign = self.assigner.assign(cand, gt, gt_valid, gt_labels=gt_labels,
+                                      box_valid=cand_valid)
+        res = self.sampler.sample(key, assign)
+        boxes = cand[res.inds]
+        matched = jnp.clip(res.gt_inds - 1, 0, gt.shape[0] - 1)
+        matched_gt = gt[matched]
+        return boxes, res.labels, res.is_pos, res.valid, matched_gt
+
+    # ---------------- training ----------------
+
+    def loss(self, feats, proposals, prop_valid, gt_bboxes, gt_valid,
+             gt_labels, rng, random_proposals=None, random_valid=None):
+        """Compute RoI losses.
+
+        Args:
+            feats: FPN maps, batch N = num_views * B (views-major).
+            proposals/prop_valid: (N, P, 4) / (N, P) — only the first B rows
+                (clean images) are used when num_views > 1.
+            gt_*: (N, G, ...) padded ground truth.
+            random_proposals: (N, Q, 4) OA random proposals (contrastive only).
+        """
+        v = self.num_views
+        n = feats[0].shape[0]
+        b = n // v
+        s = self.sampler.num
+
+        keys = jax.random.split(rng, b)
+        boxes, labels, is_pos, valid, matched_gt = jax.vmap(self._sample_one)(
+            keys, proposals[:b], prop_valid[:b], gt_bboxes[:b], gt_valid[:b],
+            gt_labels[:b])
+        # replicate sampling across views (reference contrastive_roi_head.py:84-97)
+        boxes_all = jnp.tile(boxes, (v, 1, 1))                   # (N, S, 4)
+        labels_all = jnp.tile(labels, (v, 1))
+        is_pos_all = jnp.tile(is_pos, (v, 1))
+        valid_all = jnp.tile(valid, (v, 1))
+        matched_all = jnp.tile(matched_gt, (v, 1, 1))
+
+        bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s).reshape(n, s)
+        rois = jnp.concatenate([bidx[..., None], boxes_all], axis=-1).reshape(-1, 5)
+        roi_feats = self.extract(feats, rois)
+        cls_score, bbox_pred, cont = self.head(roi_feats)
+
+        tgt_labels, tgt_lw, tgt_deltas, tgt_bw = jax.vmap(
+            lambda bx, lb, ip, vd, mg: self.head.get_targets(
+                bx, lb, ip, vd, mg, self.pos_weight))(
+            boxes_all, labels_all, is_pos_all, valid_all, matched_all)
+
+        losses = self.head.loss(
+            cls_score, bbox_pred,
+            tgt_labels.reshape(-1), tgt_lw.reshape(-1),
+            tgt_deltas.reshape(-1, 4), tgt_bw.reshape(-1, 4))
+        return losses
+
+    # ---------------- inference ----------------
+
+    def simple_test(self, feats, proposals, prop_valid, img_shapes,
+                    scale_factors, rescale=True):
+        """Padded detection: returns dets (N, max_per_img, 5), labels, valid."""
+        tc = dict(self.test_cfg or {})
+        score_thr = float(tc.get("score_thr", 0.05))
+        iou_thr = float(dict(tc.get("nms", {})).get("iou_threshold", 0.5))
+        max_per_img = int(tc.get("max_per_img", 100))
+
+        n, p = proposals.shape[:2]
+        bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), p).reshape(n, p)
+        rois = jnp.concatenate([bidx[..., None], proposals], axis=-1).reshape(-1, 5)
+        roi_feats = self.extract(feats, rois)
+        cls_score, bbox_pred, _ = self.head(roi_feats)
+        nc = self.head.num_classes
+        cls_score = cls_score.reshape(n, p, -1)
+        bbox_pred = bbox_pred.reshape(n, p, -1)
+
+        def one(rois_i, cls_i, reg_i, pv, shape, sf):
+            boxes, scores = self.head.get_bboxes(
+                rois_i, cls_i, reg_i, (shape[0], shape[1]), sf, rescale=rescale)
+            scores = jnp.where(pv[:, None], scores, 0.0)
+            return multiclass_nms(boxes, scores, score_thr, iou_thr,
+                                  max_per_img, nc)
+
+        rois_im = rois.reshape(n, p, 5)
+        return jax.vmap(one)(rois_im, cls_score, bbox_pred, prop_valid,
+                             img_shapes, scale_factors)
+
+
+@HEADS.register_module()
+class ContrastiveRoIHead(StandardRoIHead):
+    """OA-DG RoI head: multi-view shared sampling + contrastive loss."""
+
+    def loss(self, feats, proposals, prop_valid, gt_bboxes, gt_valid,
+             gt_labels, rng, random_proposals=None, random_valid=None):
+        v = self.num_views
+        n = feats[0].shape[0]
+        b = n // v
+        s = self.sampler.num
+
+        keys = jax.random.split(rng, b)
+        boxes, labels, is_pos, valid, matched_gt = jax.vmap(self._sample_one)(
+            keys, proposals[:b], prop_valid[:b], gt_bboxes[:b], gt_valid[:b],
+            gt_labels[:b])
+        boxes_all = jnp.tile(boxes, (v, 1, 1))
+        labels_all = jnp.tile(labels, (v, 1))
+        is_pos_all = jnp.tile(is_pos, (v, 1))
+        valid_all = jnp.tile(valid, (v, 1))
+        matched_all = jnp.tile(matched_gt, (v, 1, 1))
+
+        bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s).reshape(n, s)
+        rois = jnp.concatenate([bidx[..., None], boxes_all], axis=-1).reshape(-1, 5)
+        roi_feats = self.extract(feats, rois)
+        cls_score, bbox_pred, cont = self.head(roi_feats)
+
+        tgt_labels, tgt_lw, tgt_deltas, tgt_bw = jax.vmap(
+            lambda bx, lb, ip, vd, mg: self.head.get_targets(
+                bx, lb, ip, vd, mg, self.pos_weight))(
+            boxes_all, labels_all, is_pos_all, valid_all, matched_all)
+
+        losses = self.head.loss(
+            cls_score, bbox_pred,
+            tgt_labels.reshape(-1), tgt_lw.reshape(-1),
+            tgt_deltas.reshape(-1, 4), tgt_bw.reshape(-1, 4))
+
+        # contrastive branch: roi embeddings + random-proposal embeddings
+        if cont is not None:
+            loss_cont_cfg = (self.bbox_head or {}).get("loss_cont") or dict(
+                type="ContrastiveLossPlus", loss_weight=0.01,
+                temperature=0.06, num_views=2)
+            cont_loss = build_from_cfg(dict(loss_cont_cfg), LOSSES)
+            nc = self.head.num_classes
+            if random_proposals is not None:
+                q = random_proposals.shape[1]
+                rb = jnp.repeat(jnp.arange(n, dtype=jnp.float32), q).reshape(n, q)
+                rrois = jnp.concatenate([rb[..., None], random_proposals],
+                                        axis=-1).reshape(-1, 5)
+                rfeats = self.extract(feats, rrois)
+                _, _, rcont = self.head(rfeats)
+                all_feats = jnp.concatenate([cont, rcont], axis=0)
+                all_labels = jnp.concatenate(
+                    [tgt_labels.reshape(-1),
+                     jnp.full((n * q,), nc, jnp.int32)], axis=0)
+                all_valid = jnp.concatenate(
+                    [valid_all.reshape(-1),
+                     (random_valid if random_valid is not None else
+                      jnp.ones((n, q), bool)).reshape(-1)], axis=0)
+                layout = (s * b, v, q * b)
+            else:
+                all_feats, all_labels = cont, tgt_labels.reshape(-1)
+                all_valid = valid_all.reshape(-1)
+                layout = (s * b, v, 0)
+            losses["loss_cont"] = cont_loss(
+                all_feats.astype(jnp.float32), all_labels, all_valid, layout)
+        return losses

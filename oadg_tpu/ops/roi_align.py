@@ -25,8 +25,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["roi_align"]
+__all__ = ["roi_align", "roi_align_multilevel", "map_roi_levels"]
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "spatial_scale", "chunk"))
@@ -116,4 +117,119 @@ def roi_align(feats: jnp.ndarray,
 
     chunks = rois_p.reshape(-1, chunk, 5)
     res = jax.lax.map(one_chunk, chunks)
+    return res.reshape(-1, out, out, c)[:r]
+
+
+def map_roi_levels(rois: jnp.ndarray, num_levels: int,
+                   finest_scale: int = 56) -> jnp.ndarray:
+    """FPN level index per RoI (reference SingleRoIExtractor.map_roi_levels,
+    mmdet/models/roi_heads/roi_extractors/single_level_roi_extractor.py:60):
+    lvl = floor(log2(sqrt(area) / finest_scale + 1e-6)) clamped to range."""
+    scale = jnp.sqrt((rois[:, 3] - rois[:, 1]) * (rois[:, 4] - rois[:, 2]))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                   "featmap_strides", "finest_scale", "chunk"))
+def roi_align_multilevel(feats, rois, output_size: int = 7,
+                         featmap_strides=(4, 8, 16, 32),
+                         sampling_ratio: int = 2,
+                         finest_scale: int = 56,
+                         chunk: int = 256) -> jnp.ndarray:
+    """RoIAlign across an FPN pyramid in ONE fused gather pass.
+
+    Instead of running the kernel per level and masking (4x waste), all level
+    tables are concatenated into a single (sum_l B*H_l*W_l, C) table and each
+    RoI's gather indices are offset into its assigned level's region — the
+    TPU-native replacement for the reference's per-level loop
+    (single_level_roi_extractor.py:89).
+
+    Args:
+        feats: list of (B, H_l, W_l, C) NHWC maps, ordered fine->coarse.
+        rois: (R, 5) [batch_idx, x1, y1, x2, y2] image coords.
+
+    Returns: (R, out, out, C).
+    """
+    num_levels = len(feats)
+    b = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    out = output_size
+    sr = max(int(sampling_ratio), 1)
+
+    hs = np.array([f.shape[1] for f in feats])
+    ws = np.array([f.shape[2] for f in feats])
+    level_off = np.concatenate([[0], np.cumsum(b * hs * ws)[:-1]])
+    table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    scales = np.array([1.0 / s for s in featmap_strides], np.float32)
+
+    lvl = map_roi_levels(rois, num_levels, finest_scale)         # (R,)
+    roi_scale = jnp.asarray(scales)[lvl]
+    roi_h = jnp.asarray(hs)[lvl]
+    roi_w = jnp.asarray(ws)[lvl]
+    roi_off = jnp.asarray(level_off)[lvl]
+
+    r = rois.shape[0]
+    pad = (-r) % chunk
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+    aux_p = jnp.pad(jnp.stack([roi_scale,
+                               roi_h.astype(jnp.float32),
+                               roi_w.astype(jnp.float32),
+                               roi_off.astype(jnp.float32)], axis=1),
+                    ((0, pad), (0, 0)))
+
+    def one_chunk(args):
+        rois_c, aux_c = args
+        bidx = rois_c[:, 0].astype(jnp.int32)
+        sc = aux_c[:, 0]
+        fh = aux_c[:, 1]
+        fw = aux_c[:, 2]
+        off = aux_c[:, 3].astype(jnp.int32)
+        fhi = fh.astype(jnp.int32)
+        fwi = fw.astype(jnp.int32)
+
+        x1 = rois_c[:, 1] * sc - 0.5
+        y1 = rois_c[:, 2] * sc - 0.5
+        x2 = rois_c[:, 3] * sc - 0.5
+        y2 = rois_c[:, 4] * sc - 0.5
+        bin_w = (x2 - x1) / out
+        bin_h = (y2 - y1) / out
+        frac = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr
+        pos = jnp.arange(out, dtype=jnp.float32)[:, None] + frac[None, :]
+        xs = (x1[:, None, None] + pos[None] * bin_w[:, None, None]).reshape(-1, out * sr)
+        ys = (y1[:, None, None] + pos[None] * bin_h[:, None, None]).reshape(-1, out * sr)
+
+        okx = (xs > -1.0) & (xs < fw[:, None])
+        oky = (ys > -1.0) & (ys < fh[:, None])
+        px = jnp.clip(xs, 0.0, fw[:, None] - 1)
+        py = jnp.clip(ys, 0.0, fh[:, None] - 1)
+        x0i = jnp.floor(px).astype(jnp.int32)
+        y0i = jnp.floor(py).astype(jnp.int32)
+        fx = px - x0i
+        fy = py - y0i
+        x1i = jnp.minimum(x0i + 1, fwi[:, None] - 1)
+        y1i = jnp.minimum(y0i + 1, fhi[:, None] - 1)
+
+        def gather(yi, xi):
+            lin = (off[:, None, None]
+                   + ((bidx[:, None, None] * fhi[:, None, None] + yi[:, :, None])
+                      * fwi[:, None, None] + xi[:, None, :]))
+            vals = jnp.take(table, lin.reshape(-1), axis=0)
+            return vals.reshape(xi.shape[0], yi.shape[1], xi.shape[1], c)
+
+        v00 = gather(y0i, x0i)
+        v01 = gather(y0i, x1i)
+        v10 = gather(y1i, x0i)
+        v11 = gather(y1i, x1i)
+        wx = fx[:, None, :, None]
+        wy = fy[:, :, None, None]
+        val = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
+               + (v10 * (1 - wx) + v11 * wx) * wy)
+        ok = (oky[:, :, None] & okx[:, None, :])[..., None]
+        val = jnp.where(ok, val, 0.0)
+        val = val.reshape(-1, out, sr, out, sr, c)
+        return jnp.mean(val, axis=(2, 4))
+
+    res = jax.lax.map(one_chunk, (rois_p.reshape(-1, chunk, 5),
+                                  aux_p.reshape(-1, chunk, 4)))
     return res.reshape(-1, out, out, c)[:r]

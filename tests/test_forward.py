@@ -1,0 +1,183 @@
+"""Forward smoke tests: build detectors from config dicts and run
+forward_train / simple_test on tiny synthetic batches (the reference's
+tests/test_models/test_forward.py pattern, shrunk for CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oadg_tpu.models import build_detector
+
+BASE_MODEL = dict(
+    type='FasterRCNN',
+    backbone=dict(type='ResNet', depth=18, num_stages=4,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1,
+                  norm_cfg=dict(type='BN', requires_grad=True),
+                  norm_eval=True, style='pytorch', base_channels=16,
+                  stem_channels=16),
+    neck=dict(type='FPN', in_channels=[16, 32, 64, 128], out_channels=16,
+              num_outs=5),
+    rpn_head=dict(type='RPNHead', in_channels=16, feat_channels=16,
+                  anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                                        ratios=[0.5, 1.0, 2.0],
+                                        strides=[4, 8, 16, 32, 64]),
+                  bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                  target_means=[.0, .0, .0, .0],
+                                  target_stds=[1.0, 1.0, 1.0, 1.0]),
+                  loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                                loss_weight=1.0),
+                  loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
+    roi_head=dict(type='StandardRoIHead',
+                  bbox_roi_extractor=dict(
+                      type='SingleRoIExtractor',
+                      roi_layer=dict(type='RoIAlign', output_size=7,
+                                     sampling_ratio=0),
+                      out_channels=16, featmap_strides=[4, 8, 16, 32]),
+                  bbox_head=dict(type='Shared2FCBBoxHead', in_channels=16,
+                                 fc_out_channels=32, roi_feat_size=7,
+                                 num_classes=8,
+                                 bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                                 target_means=[0., 0., 0., 0.],
+                                                 target_stds=[0.1, 0.1, 0.2, 0.2]),
+                                 reg_class_agnostic=False,
+                                 loss_cls=dict(type='CrossEntropyLoss',
+                                               use_sigmoid=False,
+                                               loss_weight=1.0),
+                                 loss_bbox=dict(type='SmoothL1Loss', beta=1.0,
+                                                loss_weight=1.0))))
+
+TRAIN_CFG = dict(
+    rpn=dict(assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                           neg_iou_thr=0.3, min_pos_iou=0.3,
+                           match_low_quality=True, ignore_iof_thr=-1),
+             sampler=dict(type='RandomSampler', num=64, pos_fraction=0.5,
+                          neg_pos_ub=-1, add_gt_as_proposals=False),
+             allowed_border=-1, pos_weight=-1, debug=False),
+    rpn_proposal=dict(nms_pre=100, max_per_img=40,
+                      nms=dict(type='nms', iou_threshold=0.7),
+                      min_bbox_size=0),
+    rcnn=dict(assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                            neg_iou_thr=0.5, min_pos_iou=0.5,
+                            match_low_quality=False, ignore_iof_thr=-1),
+              sampler=dict(type='RandomSampler', num=32, pos_fraction=0.25,
+                           neg_pos_ub=-1, add_gt_as_proposals=True),
+              pos_weight=-1, debug=False))
+
+TEST_CFG = dict(
+    rpn=dict(nms_pre=60, max_per_img=30,
+             nms=dict(type='nms', iou_threshold=0.7), min_bbox_size=0),
+    rcnn=dict(score_thr=0.05, nms=dict(type='nms', iou_threshold=0.5),
+              max_per_img=10))
+
+
+def _batch(n=2, h=64, w=80, g=4, seed=0):
+    rng = np.random.RandomState(seed)
+    gt = np.zeros((n, g, 4), np.float32)
+    gt[..., 0] = rng.uniform(0, w // 2, (n, g))
+    gt[..., 1] = rng.uniform(0, h // 2, (n, g))
+    gt[..., 2] = gt[..., 0] + rng.uniform(8, w // 2, (n, g))
+    gt[..., 3] = gt[..., 1] + rng.uniform(8, h // 2, (n, g))
+    gt[..., 2] = np.minimum(gt[..., 2], w)
+    gt[..., 3] = np.minimum(gt[..., 3], h)
+    return {
+        "img": jnp.asarray(rng.randn(n, h, w, 3).astype(np.float32)),
+        "gt_bboxes": jnp.asarray(gt),
+        "gt_labels": jnp.asarray(rng.randint(0, 8, (n, g)), jnp.int32),
+        "gt_valid": jnp.asarray([[True, True, True, False]] * n),
+        "img_shape": jnp.asarray([[h, w]] * n, jnp.float32),
+        "scale_factor": jnp.ones((n, 4), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def frcnn():
+    det = build_detector(BASE_MODEL, TRAIN_CFG, TEST_CFG)
+    batch = _batch()
+    variables = det.init({"params": jax.random.PRNGKey(0),
+                          "sampling": jax.random.PRNGKey(1)}, batch, "train")
+    return det, variables
+
+
+def test_faster_rcnn_forward_train(frcnn):
+    det, variables = frcnn
+    batch = _batch()
+    losses = det.apply(variables, batch, "train",
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    for k in ("loss_rpn_cls", "loss_rpn_bbox", "loss_cls", "loss_bbox"):
+        assert k in losses, losses.keys()
+        assert np.isfinite(float(losses[k])), (k, losses[k])
+
+
+def test_faster_rcnn_forward_train_grads(frcnn):
+    det, variables = frcnn
+    batch = _batch(seed=3)
+
+    def total(params):
+        losses = det.apply({**variables, "params": params}, batch, "train",
+                           rngs={"sampling": jax.random.PRNGKey(4)})
+        return sum(v for k, v in losses.items() if k.startswith("loss"))
+
+    g = jax.grad(total)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_faster_rcnn_simple_test(frcnn):
+    det, variables = frcnn
+    batch = _batch(seed=5)
+    dets, labels, valid = det.apply(variables, batch, "test")
+    assert dets.shape == (2, 10, 5)
+    assert labels.shape == (2, 10)
+    assert valid.dtype == jnp.bool_
+
+
+def test_oadg_contrastive_forward_train():
+    model = dict(BASE_MODEL)
+    model["roi_head"] = dict(
+        type='ContrastiveRoIHead',
+        bbox_roi_extractor=BASE_MODEL["roi_head"]["bbox_roi_extractor"],
+        bbox_head=dict(type='Shared2FCContrastiveHead', in_channels=16,
+                       fc_out_channels=32, roi_feat_size=7, num_classes=8,
+                       bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                       target_means=[0., 0., 0., 0.],
+                                       target_stds=[0.1, 0.1, 0.2, 0.2]),
+                       cont_predictor_cfg=dict(num_linear=2, feat_channels=16,
+                                               return_relu=True),
+                       loss_cls=dict(type='CrossEntropyLossPlus',
+                                     use_sigmoid=False, loss_weight=1.0,
+                                     num_views=2,
+                                     additional_loss='jsdv1_3_2aug',
+                                     lambda_weight=10),
+                       loss_bbox=dict(type='SmoothL1LossPlus', beta=1.0,
+                                      loss_weight=1.0, num_views=2,
+                                      additional_loss="None"),
+                       loss_cont=dict(type='ContrastiveLossPlus',
+                                      loss_weight=0.01, temperature=0.06,
+                                      num_views=2, min_samples=2)))
+    model["rpn_head"] = dict(BASE_MODEL["rpn_head"])
+    model["rpn_head"]["loss_cls"] = dict(
+        type='CrossEntropyLossPlus', use_sigmoid=True, loss_weight=1.0,
+        num_views=2, additional_loss='jsdv1_3_2aug', lambda_weight=0.1)
+    model["rpn_head"]["loss_bbox"] = dict(type='L1LossPlus', loss_weight=1.0,
+                                          num_views=2, additional_loss="None")
+    tc = dict(TRAIN_CFG)
+    tc["random_proposal_cfg"] = dict(bbox_from='oagrb', num_bboxes=6,
+                                     scales=(0.01, 0.3), ratios=(0.3, 1 / 0.3),
+                                     iou_max=0.7, iou_min=0.0)
+    det = build_detector(model, tc, TEST_CFG, num_views=2)
+
+    b = _batch(n=4)    # views-major: imgs 0-1 clean, 2-3 aug
+    b["multilevel_boxes"] = jnp.asarray(
+        np.tile(np.array([[[2., 2., 20., 20.], [30., 30., 60., 50.]]],
+                         np.float32), (4, 1, 1)))
+    b["oamix_boxes"] = jnp.asarray(
+        np.tile(np.array([[[4., 4., 16., 16.]]], np.float32), (4, 1, 1)))
+    variables = det.init({"params": jax.random.PRNGKey(0),
+                          "sampling": jax.random.PRNGKey(1)}, b, "train")
+    losses = det.apply(variables, b, "train",
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    for k in ("loss_rpn_cls", "loss_rpn_bbox", "loss_cls", "loss_bbox",
+              "loss_cont"):
+        assert k in losses
+        assert np.isfinite(float(losses[k])), (k, float(losses[k]))
