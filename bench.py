@@ -1,0 +1,92 @@
+"""Benchmark: OA-DG Faster R-CNN R50-FPN train-step throughput on one chip.
+
+Runs the flagship config's FULL training step (multi-view forward, RPN +
+RoI + contrastive losses, backward, SGD update) at the Cityscapes training
+resolution (1024x2048) with batch 2 x 2 views, bf16 compute, on whatever
+chip jax exposes, and prints ONE JSON line.
+
+Baseline note: the reference publishes no throughput numbers
+(BASELINE.md: "published: {}"). ``vs_baseline`` is measured against an
+estimated reference rate of 2.0 dataset-samples/sec — a generous estimate
+for mmdet Faster R-CNN R50-FPN at 2048x1024, batch 2/GPU on a V100-class
+GPU where the OA-Mix CPU pipeline (reference oa_mix.py, ~0.5-2 s/sample in
+dataloader workers) does not bottleneck. The north-star target is 5x that.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 2.0     # estimated reference throughput (see above)
+
+
+def main():
+    from __graft_entry__ import _flagship_model_cfg, _train_batch
+    from oadg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from oadg_tpu.engine.train_step import make_train_step
+    from oadg_tpu.models import build_detector
+
+    cfg, model = _flagship_model_cfg(tiny=False)
+    num_views = int(cfg.get("num_views", 2))
+
+    b = int(os.environ.get("BENCH_BATCH", "2"))          # clean samples/step
+    h = int(os.environ.get("BENCH_H", "1024"))
+    w = int(os.environ.get("BENCH_W", "2048"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    det = build_detector(model, num_views=num_views, dtype=jnp.bfloat16)
+    batch = _train_batch(b * num_views, h, w, g=16)
+
+    variables = det.init({"params": jax.random.PRNGKey(0),
+                          "sampling": jax.random.PRNGKey(1)}, batch, "train")
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+
+    sched = build_lr_schedule(cfg.get("lr_config"), cfg.optimizer["lr"], 1000)
+    tx = build_optimizer(params, cfg.optimizer, sched, model_cfg=model)
+    opt_state = tx.init(params)
+
+    step = make_train_step(det, tx, mesh=None, donate=False)
+
+    t0 = time.perf_counter()
+    params, opt_state, log_vars = step(params, batch_stats, opt_state, batch,
+                                       jax.random.PRNGKey(2))
+    jax.block_until_ready(log_vars)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        params, opt_state, log_vars = step(params, batch_stats, opt_state,
+                                           batch, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(log_vars)
+        times.append(time.perf_counter() - t0)
+
+    step_s = float(np.median(times))
+    samples_per_sec = b / step_s
+    print(json.dumps({
+        "metric": "oadg_frcnn_r50_cityscapes_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+        "detail": {
+            "step_seconds_median": round(step_s, 4),
+            "compile_seconds": round(compile_s, 1),
+            "batch_clean": b, "num_views": num_views,
+            "image_hw": [h, w], "dtype": "bfloat16",
+            "loss": float(log_vars["loss"]),
+            "device": str(jax.devices()[0]),
+            "baseline_note": "reference publishes no throughput; baseline is "
+                             "an estimated 2.0 samples/s (see bench.py docstring)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

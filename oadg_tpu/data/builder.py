@@ -1,0 +1,169 @@
+"""Dataset/dataloader builders (reference mmdet/datasets/builder.py:58,86).
+
+TPU-native loader design: instead of torch DataLoader + DataContainer
+collate + per-rank DistributedGroupSampler, a thread-pool prefetcher
+assembles STATIC-SHAPE numpy batches (images padded to a fixed bucket, GT
+padded to ``max_gt`` with validity masks) that jit directly. Aspect-ratio
+group batching (reference datasets/samplers/group_sampler.py:10) is
+preserved via the dataset ``flag`` array.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..utils.registry import DATASETS, build_from_cfg
+
+
+def build_dataset(cfg, default_args=None):
+    return build_from_cfg(dict(cfg), DATASETS, default_args)
+
+
+def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = np.zeros((h, w) + img.shape[2:], img.dtype)
+    out[: img.shape[0], : img.shape[1]] = img
+    return out
+
+
+class StaticBatcher:
+    """Collate pipeline outputs into a static-shape batch dict."""
+
+    def __init__(self, static_hw, max_gt: int = 128, divisor: int = 32):
+        self.static_hw = static_hw
+        self.max_gt = max_gt
+        self.divisor = divisor
+
+    def __call__(self, samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        b = len(samples)
+        if self.static_hw is not None:
+            h, w = self.static_hw
+        else:
+            h = max(s["img"].shape[0] for s in samples)
+            w = max(s["img"].shape[1] for s in samples)
+            d = self.divisor
+            h = ((h + d - 1) // d) * d
+            w = ((w + d - 1) // d) * d
+        g = self.max_gt
+        batch = {
+            "img": np.stack([_pad_to(s["img"].astype(np.float32), h, w)
+                             for s in samples]),
+            "img_shape": np.asarray(
+                [s["img_metas"]["img_shape"][:2] for s in samples], np.float32),
+            "scale_factor": np.stack([
+                np.asarray(s["img_metas"].get("scale_factor",
+                                              [1, 1, 1, 1]),
+                           np.float32).reshape(-1)[:4] for s in samples]),
+        }
+        if "img_raw" in samples[0]:
+            batch["img_raw"] = np.stack([
+                _pad_to(s["img_raw"].astype(np.float32), h, w)
+                for s in samples])
+        if "gt_bboxes" in samples[0]:
+            gt = np.zeros((b, g, 4), np.float32)
+            lbl = np.zeros((b, g), np.int32)
+            valid = np.zeros((b, g), bool)
+            for i, s in enumerate(samples):
+                n = min(len(s["gt_bboxes"]), g)
+                gt[i, :n] = s["gt_bboxes"][:n]
+                lbl[i, :n] = s["gt_labels"][:n]
+                valid[i, :n] = True
+            batch["gt_bboxes"] = gt
+            batch["gt_labels"] = lbl
+            batch["gt_valid"] = valid
+        batch["metas"] = [s["img_metas"] for s in samples]
+        return batch
+
+
+class PrefetchLoader:
+    """Thread-pool prefetching iterator over grouped static batches."""
+
+    def __init__(self, dataset, samples_per_gpu: int, num_workers: int = 2,
+                 shuffle: bool = True, seed: Optional[int] = None,
+                 static_hw=None, max_gt: int = 128, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.bs = samples_per_gpu
+        self.num_workers = max(1, num_workers)
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.batcher = StaticBatcher(static_hw, max_gt=max_gt)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        flag = getattr(self.dataset, "flag", np.zeros(n, np.uint8))
+        batches = []
+        for group in np.unique(flag):
+            idxs = np.where(flag == group)[0]
+            if self.shuffle:
+                self.rng.shuffle(idxs)
+            # round up to full batches within the group (GroupSampler style)
+            pad = (-len(idxs)) % self.bs
+            if pad and not self.drop_last:
+                idxs = np.concatenate([idxs, idxs[:pad]])
+            full = len(idxs) // self.bs * self.bs
+            batches.extend(np.split(idxs[:full], max(full // self.bs, 1))
+                           if full else [])
+        if self.shuffle:
+            order = self.rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batch_indices()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        it_lock = threading.Lock()
+        it = iter(batches)
+
+        def worker():
+            while not stop.is_set():
+                with it_lock:
+                    try:
+                        idxs = next(it)
+                    except StopIteration:
+                        break
+                samples = [self.dataset[int(i)] for i in idxs]
+                q.put(self.batcher(samples))
+            q.put(None)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        done = 0
+        try:
+            while done < len(threads):
+                item = q.get()
+                if item is None:
+                    done += 1
+                    continue
+                yield item
+        finally:
+            stop.set()
+            for t in threads:
+                while t.is_alive():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+                t.join(timeout=0.1)
+
+
+def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 2,
+                     num_gpus: int = 1, dist: bool = False,
+                     shuffle: bool = True, seed: Optional[int] = None,
+                     static_hw=None, max_gt: int = 128, **kwargs):
+    """Reference signature-compatible builder returning a PrefetchLoader."""
+    return PrefetchLoader(dataset, samples_per_gpu,
+                          num_workers=workers_per_gpu, shuffle=shuffle,
+                          seed=seed, static_hw=static_hw, max_gt=max_gt,
+                          drop_last=shuffle)

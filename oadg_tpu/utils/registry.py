@@ -94,10 +94,43 @@ def build_from_cfg(cfg: dict, registry: Registry, default_args: Optional[dict] =
         obj_cls = obj_type
     else:
         raise TypeError(f"type must be str or class, got {type(obj_type)}")
+    args = _filter_linen_kwargs(obj_cls, args)
     try:
         return obj_cls(**args)
     except Exception as e:  # augment the error with context
         raise type(e)(f"{obj_cls.__name__}: {e}") from e
+
+
+_warned_dropped = set()
+
+
+def _filter_linen_kwargs(obj_cls, args: dict) -> dict:
+    """Drop config keys a flax.linen module doesn't declare.
+
+    The mmdet config schema carries many implementation knobs (init_cfg,
+    with_avg_pool, out_dim_cont, ...) that the reference's torch classes
+    accept via **kwargs. Linen modules are frozen dataclasses, so unknown
+    keys are filtered here — once per (class, key) with a warning — instead
+    of breaking config compatibility.
+    """
+    try:
+        import dataclasses
+        import flax.linen as nn
+    except Exception:
+        return args
+    if not (inspect.isclass(obj_cls) and issubclass(obj_cls, nn.Module)):
+        return args
+    fields = {f.name for f in dataclasses.fields(obj_cls)}
+    out = {}
+    for k, v in args.items():
+        if k in fields:
+            out[k] = v
+        elif (obj_cls.__name__, k) not in _warned_dropped:
+            _warned_dropped.add((obj_cls.__name__, k))
+            import warnings
+            warnings.warn(f"{obj_cls.__name__}: dropping config key {k!r} "
+                          f"(not implemented by this module)")
+    return out
 
 
 # Global registries, mirroring the reference's set

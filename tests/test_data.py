@@ -1,0 +1,143 @@
+"""Data layer tests: tiny on-disk COCO/VOC fixtures through datasets,
+pipelines and the static-shape loader (reference
+tests/test_data/test_datasets house style)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import cv2
+
+from oadg_tpu.data import build_dataloader, build_dataset
+
+
+@pytest.fixture(scope="module")
+def coco_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    (root / "imgs").mkdir()
+    images, annotations = [], []
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        h, w = (64, 96) if i % 2 == 0 else (96, 64)
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        name = f"img{i}.png"
+        cv2.imwrite(str(root / "imgs" / name), img)
+        images.append(dict(id=i, file_name=name, width=w, height=h))
+        for j in range(2):
+            x, y = int(rng.randint(0, w // 2)), int(rng.randint(0, h // 2))
+            annotations.append(dict(
+                id=len(annotations), image_id=i,
+                category_id=[1, 3][j % 2], bbox=[x, y, 20, 15],
+                area=300, iscrowd=0))
+    cats = [dict(id=1, name='person'), dict(id=3, name='car'),
+            dict(id=7, name='bicycle')]
+    ann = dict(images=images, annotations=annotations, categories=cats)
+    ann_file = root / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(root / "imgs")
+
+
+PIPELINE = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True),
+    dict(type='Resize', img_scale=(128, 96), keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize', mean=[123.675, 116.28, 103.53],
+         std=[58.395, 57.12, 57.375], to_rgb=True),
+    dict(type='Pad', size_divisor=32),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels']),
+]
+
+
+def test_coco_dataset_and_loader(coco_fixture):
+    ann_file, img_prefix = coco_fixture
+    ds = build_dataset(dict(type='CocoDataset', ann_file=ann_file,
+                            img_prefix=img_prefix,
+                            classes=('person', 'car', 'bicycle'),
+                            pipeline=PIPELINE))
+    assert len(ds) == 4
+    ann = ds.get_ann_info(0)
+    assert ann["bboxes"].shape[1] == 4 and len(ann["labels"]) == 2
+    sample = ds[0]
+    assert sample["img"].ndim == 3 and sample["gt_bboxes"].shape[1] == 4
+
+    loader = build_dataloader(ds, samples_per_gpu=2, workers_per_gpu=1,
+                              seed=0, static_hw=(128, 128), max_gt=8)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["img"].shape == (2, 128, 128, 3)
+    assert b["gt_bboxes"].shape == (2, 8, 4)
+    assert b["gt_valid"].sum() == 4           # 2 gts per image
+    # aspect-ratio grouping: each batch holds images of one orientation
+    shapes = [m["img_shape"][:2] for m in b["metas"]]
+    assert (np.asarray(shapes)[:, 0] > np.asarray(shapes)[:, 1]).all() or \
+           (np.asarray(shapes)[:, 0] <= np.asarray(shapes)[:, 1]).all()
+
+
+def test_repeat_dataset(coco_fixture):
+    ann_file, img_prefix = coco_fixture
+    ds = build_dataset(dict(
+        type='RepeatDataset', times=3,
+        dataset=dict(type='CocoDataset', ann_file=ann_file,
+                     img_prefix=img_prefix,
+                     classes=('person', 'car', 'bicycle'),
+                     pipeline=PIPELINE)))
+    assert len(ds) == 12
+
+
+def test_oamix_pipeline_marks_sample(coco_fixture):
+    ann_file, img_prefix = coco_fixture
+    pipeline = list(PIPELINE)
+    pipeline.insert(4, dict(type='OAMix', version='augmix', num_views=2,
+                            keep_orig=True, severity=10))
+    pipeline[-1] = dict(type='Collect',
+                        keys=['img', 'img2', 'gt_bboxes', 'gt_bboxes2',
+                              'gt_labels', 'multilevel_boxes', 'oamix_boxes'])
+    ds = build_dataset(dict(type='CocoDataset', ann_file=ann_file,
+                            img_prefix=img_prefix,
+                            classes=('person', 'car', 'bicycle'),
+                            pipeline=pipeline))
+    s = ds[0]
+    assert "img_raw" in s and s["img_raw"].dtype != np.float64
+    assert "oamix_cfg" in s
+    loader = build_dataloader(ds, samples_per_gpu=2, workers_per_gpu=1,
+                              seed=0, static_hw=(128, 128), max_gt=8)
+    b = next(iter(loader))
+    assert b["img_raw"].shape == (2, 128, 128, 3)
+    # raw copy must be pre-Normalize (0..255 range)
+    assert b["img_raw"].max() > 10
+
+
+def test_coco_evaluate_protocol(coco_fixture):
+    ann_file, img_prefix = coco_fixture
+    ds = build_dataset(dict(type='CocoDataset', ann_file=ann_file,
+                            img_prefix=img_prefix,
+                            classes=('person', 'car', 'bicycle'),
+                            pipeline=PIPELINE, test_mode=True))
+    # perfect predictions -> mAP 1.0
+    results = []
+    for i in range(len(ds)):
+        ann = ds.get_ann_info(i)
+        per_cls = [np.zeros((0, 5), np.float32) for _ in range(3)]
+        for box, lbl in zip(ann["bboxes"], ann["labels"]):
+            det = np.concatenate([box, [0.9]]).astype(np.float32)[None]
+            per_cls[lbl] = np.concatenate([per_cls[lbl], det])
+        results.append(per_cls)
+    out = ds.evaluate(results, metric="bbox")
+    assert out["bbox_mAP"] == pytest.approx(1.0, abs=1e-6)
+    assert out["bbox_mAP_50"] == pytest.approx(1.0, abs=1e-6)
+
+    # shifted predictions -> lower AP
+    results_bad = []
+    for i in range(len(ds)):
+        ann = ds.get_ann_info(i)
+        per_cls = [np.zeros((0, 5), np.float32) for _ in range(3)]
+        for box, lbl in zip(ann["bboxes"], ann["labels"]):
+            det = np.concatenate([box + 8.0, [0.9]]).astype(np.float32)[None]
+            per_cls[lbl] = np.concatenate([per_cls[lbl], det])
+        results_bad.append(per_cls)
+    out_bad = ds.evaluate(results_bad, metric="bbox")
+    assert out_bad["bbox_mAP"] < out["bbox_mAP"]
