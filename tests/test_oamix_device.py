@@ -1,0 +1,90 @@
+"""On-device OA-Mix tests: mask closed-form fidelity vs the reference's
+cv2 quarter-res pipeline, random-box invariants, end-to-end output sanity."""
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oadg_tpu.ops.oamix_device import (_blurred_box_mask, _sample_random_boxes,
+                                       oamix_batch)
+
+
+def _reference_mask(box, h, w, spatial_ratio=4, sigma_ratio=0.3):
+    """Reference OAMix._get_mask (oa_mix.py:74-93) replicated with cv2."""
+    x1, y1, x2, y2 = (np.array(box) // spatial_ratio).astype(np.int32)
+    mask = np.zeros((h // spatial_ratio, w // spatial_ratio, 3), np.float32)
+    mask[y1:y2, x1:x2, :] = 1.0
+    sigma_x = (x2 - x1) * sigma_ratio / 3 * 2
+    sigma_y = (y2 - y1) * sigma_ratio / 3 * 2
+    if not (sigma_x <= 0 or sigma_y <= 0):
+        mask = cv2.GaussianBlur(mask, (0, 0), sigmaX=sigma_x, sigmaY=sigma_y)
+    return cv2.resize(mask, (w, h))[..., 0]
+
+
+@pytest.mark.parametrize("box", [(40, 32, 120, 96), (8, 8, 60, 40)])
+def test_closed_form_mask_matches_reference_pipeline(box):
+    h, w = 128, 160
+    ref = _reference_mask(box, h, w)
+    # full-res closed form: quarter-res box (floor-divided) scaled back up,
+    # sigma = 4 * quarter-res sigma
+    q = np.array(box) // 4
+    box_full = q * 4
+    ours = np.asarray(_blurred_box_mask(jnp.asarray(box_full, jnp.float32),
+                                        h, w, 0.3))
+    diff = np.abs(ours - ref)
+    assert diff.mean() < 0.02, diff.mean()
+    assert diff.max() < 0.25, diff.max()     # discrete vs continuous edges
+
+
+def test_sample_random_boxes_invariants():
+    key = jax.random.PRNGKey(0)
+    shape = jnp.asarray([96.0, 128.0])
+    for i in range(5):
+        boxes, valid = _sample_random_boxes(
+            jax.random.fold_in(key, i), shape, (0.01, 0.1), (3, 1 / 3), 2, 1, 3)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        assert valid.any()
+        for bi in np.where(valid)[0]:
+            x1, y1, x2, y2 = boxes[bi]
+            assert 0 <= x1 < x2 <= 128 and 0 <= y1 < y2 <= 96
+        if valid.all():     # no overlap between valid boxes
+            a, b = boxes
+            ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+            iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+            assert ix * iy <= 1e-6
+
+
+def test_oamix_batch_end_to_end():
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 96, 128
+    img = rng.randint(0, 255, (b, h, w, 3)).astype(np.float32)
+    gt = np.asarray([[[10, 10, 60, 50], [70, 20, 120, 90], [0, 0, 0, 0]]] * b,
+                    np.float32)
+    gtv = np.asarray([[True, True, False]] * b)
+    shape = np.asarray([[h, w]] * b, np.float32)
+    cfg = dict(version="augmix", num_views=2, severity=10, mixture_width=3,
+               mixture_depth=-1, random_box_scale=(0.01, 0.1),
+               random_box_ratio=(3, 1 / 3), oa_random_box_scale=(0.005, 0.1),
+               oa_random_box_ratio=(3, 1 / 3), spatial_ratio=4,
+               sigma_ratio=0.3)
+    out = jax.jit(lambda *a: oamix_batch(*a, cfg))(
+        jnp.asarray(img), jnp.asarray(gt), jnp.asarray(gtv),
+        jnp.asarray(shape), jax.random.PRNGKey(7))
+    aug = np.asarray(out["aug"])
+    assert aug.shape == (b, 1, h, w, 3)
+    assert aug.min() >= 0 and aug.max() <= 255
+    assert np.isfinite(aug).all()
+    # augmentation changed the image, but not unrecognizably
+    delta = np.abs(aug[:, 0] - img).mean()
+    assert 1.0 < delta < 120.0, delta
+    ml, mlv = np.asarray(out["multilevel_boxes"]), np.asarray(out["multilevel_valid"])
+    assert ml.shape == (b, 2, 4) and mlv.any()
+    oa, oav = np.asarray(out["oamix_boxes"]), np.asarray(out["oamix_valid"])
+    assert oa.shape == (b, 5, 4)
+    # different keys give different augmentations
+    out2 = jax.jit(lambda *a: oamix_batch(*a, cfg))(
+        jnp.asarray(img), jnp.asarray(gt), jnp.asarray(gtv),
+        jnp.asarray(shape), jax.random.PRNGKey(8))
+    assert np.abs(np.asarray(out2["aug"]) - aug).mean() > 0.5
