@@ -1,0 +1,4 @@
+from .inference import (DetectorHandle, inference_detector, init_detector,
+                        show_result_pyplot)
+from .test import multi_gpu_test, run_test, single_gpu_test
+from .train import init_random_seed, set_random_seed, train_detector

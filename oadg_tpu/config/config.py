@@ -314,13 +314,19 @@ class Config:
             f.write(text)
 
 
-class DictAction:
-    """argparse action for ``KEY=VALUE`` pairs with literal-eval values.
+import argparse
 
-    Stand-in for mmcv's ``DictAction`` (reference tools/train.py:60).
-    Implemented as a real argparse.Action subclass in tools; this helper
-    parses a single value string.
-    """
+
+class DictAction(argparse.Action):
+    """argparse action for ``KEY=VALUE`` pairs with literal-eval values
+    (mmcv ``DictAction`` contract, reference tools/train.py:60)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        options = getattr(namespace, self.dest, None) or {}
+        for kv in values:
+            key, val = kv.split("=", maxsplit=1)
+            options[key] = self.parse_value(val)
+        setattr(namespace, self.dest, options)
 
     @staticmethod
     def parse_value(val: str):

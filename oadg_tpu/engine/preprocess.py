@@ -1,0 +1,61 @@
+"""Device-side batch preprocessing: on-device OA-Mix + multi-view
+integration.
+
+Replaces the reference's ``integrate_data`` (mmdet/models/detectors/base.py
+:22-48 — a host-side torch.cat of pipeline-produced views) with a fused
+device computation: raw clean images are augmented on-chip
+(ops/oamix_device.py), normalized, and laid out views-major
+``[B clean; B aug1; ...]`` with gt/meta tiled — all inside the jitted train
+step, so augmentation overlaps nothing and costs no host<->device traffic.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.oamix_device import oamix_batch
+
+
+def make_oadg_preprocess(oamix_cfg: Dict[str, Any],
+                         img_norm_cfg: Dict[str, Any]) -> Callable:
+    """Build the (batch, key) -> views-major batch function."""
+    mean = jnp.asarray(img_norm_cfg.get("mean", [123.675, 116.28, 103.53]),
+                       jnp.float32)
+    std = jnp.asarray(img_norm_cfg.get("std", [58.395, 57.12, 57.375]),
+                      jnp.float32)
+    to_rgb = bool(img_norm_cfg.get("to_rgb", True))
+    num_views = int(oamix_cfg.get("num_views", 2))
+    cfg = dict(oamix_cfg)
+
+    def preprocess(batch: Dict[str, jnp.ndarray], key) -> Dict[str, jnp.ndarray]:
+        out = oamix_batch(batch["img_raw"], batch["gt_bboxes"],
+                          batch["gt_valid"], batch["img_shape"], key, cfg)
+        aug = out["aug"]                       # (B, V-1, H, W, 3) raw
+        if to_rgb:
+            aug = aug[..., ::-1]
+        aug = (aug - mean) / std
+
+        def tile(x):
+            return jnp.concatenate([x] * num_views, axis=0)
+
+        imgs = jnp.concatenate(
+            [batch["img"]] + [aug[:, v] for v in range(aug.shape[1])], axis=0)
+        new_batch = {
+            "img": imgs,
+            "gt_bboxes": tile(batch["gt_bboxes"]),
+            "gt_labels": tile(batch["gt_labels"]),
+            "gt_valid": tile(batch["gt_valid"]),
+            "img_shape": tile(batch["img_shape"]),
+            "scale_factor": tile(batch.get(
+                "scale_factor",
+                jnp.ones((batch["img"].shape[0], 4), jnp.float32))),
+            "multilevel_boxes": tile(out["multilevel_boxes"]),
+            "multilevel_valid": tile(out["multilevel_valid"]),
+            "oamix_boxes": tile(out["oamix_boxes"]),
+            "oamix_valid": tile(out["oamix_valid"]),
+        }
+        return new_batch
+
+    return preprocess

@@ -31,11 +31,21 @@ def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
 
 
 def make_train_step(detector, tx: optax.GradientTransformation,
-                    mesh=None, donate: bool = True) -> Callable:
+                    mesh=None, donate: bool = True,
+                    preprocess: Optional[Callable] = None) -> Callable:
     """Build the jitted (params, batch_stats, opt_state, batch, rng, step) ->
-    (params, opt_state, log_vars) function."""
+    (params, opt_state, log_vars) function.
+
+    ``preprocess`` (batch, key) -> batch runs INSIDE the jitted step —
+    on-device OA-Mix + multi-view integration fuse with the forward pass
+    (engine/preprocess.py).
+    """
 
     def step(params, batch_stats, opt_state, batch, rng):
+        if preprocess is not None:
+            rng, pk = jax.random.split(rng)
+            batch = preprocess(batch, pk)
+
         def loss_fn(p):
             variables = {"params": p}
             if batch_stats is not None:

@@ -190,5 +190,10 @@ class RPNHead(nn.Module):
             return out_boxes, jnp.where(out_valid, top_s, 0.0), out_valid
 
         del n
-        return jax.vmap(one_image)(tuple(cls_scores), tuple(bbox_preds),
-                                   img_shapes)
+        boxes, scores, valid = jax.vmap(one_image)(
+            tuple(cls_scores), tuple(bbox_preds), img_shapes)
+        # proposals are training DATA for the RoI head, not a gradient path
+        # (the reference detaches them implicitly by materializing tensors);
+        # without this the backward would differentiate through NMS gathers.
+        return (jax.lax.stop_gradient(boxes), jax.lax.stop_gradient(scores),
+                valid)

@@ -1,0 +1,179 @@
+"""Checkpoint IO: Orbax trees + torch .pth conversion.
+
+The reference initializes from published torch checkpoints
+(``load_from = .../faster_rcnn_r50_fpn_1x_coco...pth``, reference
+configs/OA-DG/cityscapes/faster_rcnn_r50_fpn_1x_cityscapes.py:57).
+``convert_torch_state_dict`` maps an mmdet FasterRCNN state_dict onto this
+framework's flax tree:
+
+- conv ``weight`` OIHW -> HWIO kernels; linear ``weight`` (out,in) -> (in,out);
+- BN weight/bias -> FrozenBN scale/bias (params), running stats ->
+  batch_stats;
+- the first RoI shared FC's input is reordered CHW -> HWC to match NHWC
+  RoIAlign output flattening;
+- name scheme: backbone.layerI.J.* -> backbone_m/layerI_J/*, fpn
+  lateral_convs.N -> neck_m/lateral_N, etc.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))          # OIHW -> HWIO
+
+
+def convert_torch_state_dict(sd: Dict[str, "np.ndarray"],
+                             roi_feat_size: int = 7,
+                             roi_channels: int = 256) -> Dict[str, Dict]:
+    """mmdet FasterRCNN/R-CNN torch state_dict -> {params, batch_stats}."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def to_np(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    bn_map = {}   # torch bn prefix -> (module path tuple)
+
+    for key, val in sd.items():
+        v = to_np(val)
+        parts = key.split(".")
+        # ---- backbone ----
+        if parts[0] == "backbone":
+            if parts[1] == "conv1":
+                _set(params, ("backbone_m", "conv1", "Conv_0", "kernel"),
+                     _conv_kernel(v))
+            elif parts[1] == "bn1":
+                _bn(params, stats, ("backbone_m", "FrozenBN_0"), parts[2], v)
+            elif parts[1].startswith("layer"):
+                li = parts[1][5:]
+                bj = parts[2]
+                mod = f"layer{li}_{bj}"
+                sub = parts[3]
+                if sub.startswith("conv"):
+                    _set(params, ("backbone_m", mod, sub, "Conv_0", "kernel"),
+                         _conv_kernel(v))
+                elif sub.startswith("bn"):
+                    k = int(sub[2:]) - 1
+                    _bn(params, stats, ("backbone_m", mod, f"FrozenBN_{k}"),
+                        parts[4], v)
+                elif sub == "downsample":
+                    if parts[4] == "0":      # conv
+                        _set(params, ("backbone_m", mod, "downsample_conv",
+                                      "Conv_0", "kernel"), _conv_kernel(v))
+                    else:                    # bn
+                        _bn(params, stats,
+                            ("backbone_m", mod, "FrozenBN_3"), parts[5], v)
+        # ---- neck (FPN) ----
+        elif parts[0] == "neck":
+            m = re.match(r"(lateral_convs|fpn_convs)", parts[1])
+            if m:
+                idx = parts[2]
+                name = ("lateral_" if parts[1] == "lateral_convs"
+                        else "fpn_conv_") + idx
+                leaf = "kernel" if parts[-1] == "weight" else "bias"
+                w = _conv_kernel(v) if parts[-1] == "weight" else v
+                _set(params, ("neck_m", name, "Conv_0", leaf), w)
+        # ---- rpn ----
+        elif parts[0] == "rpn_head":
+            name = parts[1]
+            leaf = "kernel" if parts[-1] == "weight" else "bias"
+            w = _conv_kernel(v) if parts[-1] == "weight" else v
+            _set(params, ("rpn", name, "Conv_0", leaf), w)
+        # ---- roi head ----
+        elif parts[0] == "roi_head" and parts[1] == "bbox_head":
+            sub = parts[2]
+            leaf = "kernel" if parts[-1] == "weight" else "bias"
+            if sub == "shared_fcs":
+                idx = int(parts[3])
+                if leaf == "kernel":
+                    if idx == 0:
+                        o, i = v.shape
+                        v = (v.reshape(o, roi_channels, roi_feat_size,
+                                       roi_feat_size)
+                             .transpose(0, 2, 3, 1).reshape(o, i))
+                    v = v.T
+                _set(params, ("roi", "head", f"shared_fc{idx}", leaf), v)
+            elif sub in ("fc_cls", "fc_reg"):
+                if leaf == "kernel":
+                    v = v.T
+                _set(params, ("roi", "head", sub, leaf), v)
+            elif sub == "fc_cont":
+                idx = int(parts[3])
+                if leaf == "kernel":
+                    v = v.T
+                _set(params, ("roi", "head", f"fc_cont{idx}", leaf), v)
+    return {"params": params, "batch_stats": stats}
+
+
+def _bn(params, stats, path: Tuple[str, ...], leaf: str, v):
+    if leaf == "weight":
+        _set(params, path + ("scale",), v)
+    elif leaf == "bias":
+        _set(params, path + ("bias",), v)
+    elif leaf == "running_mean":
+        _set(stats, path + ("mean",), v)
+    elif leaf == "running_var":
+        _set(stats, path + ("var",), v)
+
+
+def merge_variables(init_variables: Dict, loaded: Dict,
+                    logger=None) -> Dict:
+    """Graft loaded leaves onto the init tree (load_from semantics:
+    missing keys keep init values, unexpected keys warn)."""
+    import jax
+
+    out = jax.tree_util.tree_map(lambda x: x, init_variables)   # copy
+    stats = dict(loaded_used=0, mismatched=0)
+
+    def walk(dst, src, path=""):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k in dst and isinstance(dst[k], dict):
+                    walk(dst[k], v, f"{path}/{k}")
+                elif logger:
+                    logger.warning(f"unexpected checkpoint scope {path}/{k}")
+            else:
+                if k in dst and tuple(np.shape(dst[k])) == tuple(np.shape(v)):
+                    dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+                    stats["loaded_used"] += 1
+                else:
+                    stats["mismatched"] += 1
+                    if logger:
+                        logger.warning(
+                            f"shape mismatch or missing at {path}/{k}: "
+                            f"ckpt {np.shape(v)}")
+
+    import flax
+    mutable = flax.core.unfreeze(out) if hasattr(flax.core, "unfreeze") else out
+    for col in ("params", "batch_stats"):
+        if col in loaded and col in mutable:
+            walk(mutable[col], loaded[col], col)
+    if logger:
+        logger.info(f"checkpoint merge: {stats}")
+    return mutable
+
+
+def load_checkpoint_variables(path: str) -> Dict:
+    """Load Orbax dir / torch .pth into a {params, batch_stats} tree."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        state = ocp.PyTreeCheckpointer().restore(path)
+        return {"params": state["params"],
+                "batch_stats": state.get("batch_stats")}
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return convert_torch_state_dict(sd)
