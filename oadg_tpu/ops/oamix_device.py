@@ -119,24 +119,21 @@ def _sample_random_boxes(key, img_shape, scale_rng, ratio_rng, max_boxes: int,
     kt, key = jax.random.split(key)
     target = jax.random.randint(kt, (), num_lo, num_hi)       # [lo, hi)
 
-    def draw(k):
-        k1, k2, k3, k4 = jax.random.split(k, 4)
-        x1 = jnp.floor(jax.random.uniform(k1) * w)
-        y1 = jnp.floor(jax.random.uniform(k2) * h)
-        s = jax.random.uniform(k3, minval=min(scale_rng),
-                               maxval=max(scale_rng)) * h * w
-        r = jax.random.uniform(k4, minval=min(ratio_rng),
-                               maxval=max(ratio_rng))
+    def draw_all(sub):
+        u = jax.random.uniform(sub, (ATTEMPTS, 4))
+        x1 = jnp.floor(u[:, 0] * w)
+        y1 = jnp.floor(u[:, 1] * h)
+        s = (min(scale_rng) + u[:, 2] * (max(scale_rng) - min(scale_rng))) * h * w
+        r = min(ratio_rng) + u[:, 3] * (max(ratio_rng) - min(ratio_rng))
         bw = jnp.floor(jnp.sqrt(s / r))
         bh = jnp.floor(jnp.sqrt(s * r))
         ok = (x1 + bw <= w) & (y1 + bh <= h) & (bw >= 1) & (bh >= 1)
-        return jnp.stack([x1, y1, x1 + bw, y1 + bh]), ok
+        return jnp.stack([x1, y1, x1 + bw, y1 + bh], -1), ok
 
     def slot(i, carry):
         boxes, valid, key = carry
         key, sub = jax.random.split(key)
-        cands_ok = jax.vmap(draw)(jax.random.split(sub, ATTEMPTS))
-        cboxes, coks = cands_ok
+        cboxes, coks = draw_all(sub)
         # overlap with earlier valid boxes kills a candidate
         def overlaps(b):
             x1 = jnp.maximum(b[0], boxes[:, 0])
@@ -162,59 +159,61 @@ def _sample_random_boxes(key, img_shape, scale_rng, ratio_rng, max_boxes: int,
 
 # ------------------------------------------------------------- warps -------
 
-def _op_matrices(key, op_idx, boxes, box_valid, img_shape, severity: float,
-                 is_bg: bool):
-    """Forward 2x3 affine per region for a geometric op.
+def _op_matrices(key, family: int, boxes, box_valid, img_shape,
+                 severity: float, is_bg: bool):
+    """Forward 2x3 affines for one geometric-op family, vectorized over
+    boxes (scalar-granularity ops serialize badly on TPU, so all per-box
+    quantities stay (G,) vectors and the RNG is one fused draw).
 
-    op within geo family: 0=rotate, 1=shear_xy, 2=translate_xy — parameter
-    scaling per reference augmix.py:83-188 (per-box level draws, box-scaled
-    translate, box-center rotation/shear for bboxes_only; image-center /
-    zero-offset for bg_only).
+    ``family``: 0=rotate, 1=shear_xy, 2=translate_xy — parameter scaling per
+    reference augmix.py:83-188 (per-box level draws, box-scaled translate,
+    box-center rotation/shear for bboxes_only; image-center / zero-offset
+    for bg_only).
     """
     h, w = img_shape[0], img_shape[1]
     g = boxes.shape[0]
-    keys = jax.random.split(key, g)
+    u = jax.random.uniform(key, (g, 3))
+    lvl = 0.1 + u[:, 0] * (severity - 0.1)
+    sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
+    use_x = u[:, 2] < 0.5
 
-    def one(k, box):
-        k1, k2, k3, k4 = jax.random.split(k, 4)
-        lvl = jax.random.uniform(k1, minval=0.1, maxval=severity)
-        neg = jax.random.uniform(k2) > 0.5
-        cx = jnp.where(is_bg, w / 2.0, (box[0] + box[2]) / 2.0)
-        cy = jnp.where(is_bg, h / 2.0, (box[1] + box[3]) / 2.0)
-        bw = jnp.where(is_bg, w, box[2] - box[0] + 1)
-        bh = jnp.where(is_bg, h, box[3] - box[1] + 1)
+    if is_bg:
+        cx = jnp.full((g,), w / 2.0)
+        cy = jnp.full((g,), h / 2.0)
+        bw = jnp.full((g,), w)
+        bh = jnp.full((g,), h)
+    else:
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+        bw = boxes[:, 2] - boxes[:, 0] + 1
+        bh = boxes[:, 3] - boxes[:, 1] + 1
+    zeros = jnp.zeros((g,))
+    ones = jnp.ones((g,))
 
-        # rotate
-        deg = jnp.floor(lvl * 30.0 / 10.0) * jnp.where(neg, -1.0, 1.0)
+    def assemble(a, b, c, d, e, f):
+        # rows [[a, b, c], [d, e, f]] -> (G, 2, 3)
+        return jnp.stack([jnp.stack([a, b, c], -1),
+                          jnp.stack([d, e, f], -1)], -2)
+
+    if family == 0:                 # rotate about (cx, cy)
+        deg = jnp.floor(lvl * 30.0 / 10.0) * sign
         rad = jnp.deg2rad(deg)
         ca, sa = jnp.cos(rad), jnp.sin(rad)
-        m_rot = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]) * 0
-        m_rot = jnp.stack([
-            jnp.stack([ca, sa, (1 - ca) * cx - sa * cy]),
-            jnp.stack([-sa, ca, sa * cx + (1 - ca) * cy])])
-        # shear x or y (coin flip), cv2 form M=[[1,-l,-tx],[0,1,0]]
-        sh = lvl * 0.3 / 10.0 * jnp.where(neg, -1.0, 1.0)
-        use_x = jax.random.uniform(k3) < 0.5
-        tx = jnp.where(is_bg, 0.0, -sh * cy)
-        ty = jnp.where(is_bg, 0.0, -sh * cx)
-        m_shx = jnp.stack([jnp.stack([1.0, -sh, -tx]),
-                           jnp.stack([0.0 * sh, 1.0 + 0 * sh, 0.0 * sh])])
-        m_shy = jnp.stack([jnp.stack([1.0 + 0 * sh, 0.0 * sh, 0.0 * sh]),
-                           jnp.stack([-sh, 1.0, -ty])])
-        m_shear = jnp.where(use_x, m_shx, m_shy)
-        # translate x or y, level = int(lvl * maxval/3 / 10)
-        use_tx = jax.random.uniform(k4) < 0.5
-        shift_x = jnp.floor(lvl * (bw / 3.0) / 10.0) * jnp.where(neg, -1, 1)
-        shift_y = jnp.floor(lvl * (bh / 3.0) / 10.0) * jnp.where(neg, -1, 1)
-        m_trx = jnp.stack([jnp.stack([1.0, 0.0, -shift_x]),
-                           jnp.stack([0.0, 1.0, 0.0 * shift_x])])
-        m_try = jnp.stack([jnp.stack([1.0, 0.0, 0.0 * shift_y]),
-                           jnp.stack([0.0, 1.0, -shift_y])])
-        m_trans = jnp.where(use_tx, m_trx, m_try)
-        return jnp.stack([m_rot, m_shear, m_trans])             # (3, 2, 3)
-
-    ms = jax.vmap(one)(keys, boxes)                             # (G, 3, 2, 3)
-    return ms[jnp.arange(g), op_idx]                            # (G, 2, 3)
+        return assemble(ca, sa, (1 - ca) * cx - sa * cy,
+                        -sa, ca, sa * cx + (1 - ca) * cy)
+    if family == 1:                 # shear x or y (cv2 M=[[1,-l,-tx],[0,1,0]])
+        sh = lvl * 0.3 / 10.0 * sign
+        tx = zeros if is_bg else -sh * cy
+        ty = zeros if is_bg else -sh * cx
+        m_shx = assemble(ones, -sh, -tx, zeros, ones, zeros)
+        m_shy = assemble(ones, zeros, zeros, -sh, ones, -ty)
+        return jnp.where(use_x[:, None, None], m_shx, m_shy)
+    # translate x or y, level = int(lvl * maxval/3 / 10)
+    shift_x = jnp.floor(lvl * (bw / 3.0) / 10.0) * sign
+    shift_y = jnp.floor(lvl * (bh / 3.0) / 10.0) * sign
+    m_trx = assemble(ones, zeros, -shift_x, zeros, ones, zeros)
+    m_try = assemble(ones, zeros, zeros, zeros, ones, -shift_y)
+    return jnp.where(use_x[:, None, None], m_trx, m_try)
 
 
 def _invert_2x3(m):
@@ -233,8 +232,13 @@ def _warp_by_pixel_matrices(img, inv_map):
 
     img (H, W, C); inv_map (H, W, 6) rows [ia, ib, itx, ic, id, ity].
     Out-of-range samples read 0 (cv2 BORDER_CONSTANT).
+
+    TPU gathers are per-row scalar-granularity, so the 4 bilinear taps are
+    folded into 2 gathers over a channel-paired table: P[y, x] holds
+    (img[y, x], img[y, x+1]) — one gather per y-tap fetches both x-taps.
     """
     h, w = img.shape[0], img.shape[1]
+    c = img.shape[-1]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     sx = inv_map[..., 0] * xs + inv_map[..., 1] * ys + inv_map[..., 2]
@@ -246,15 +250,22 @@ def _warp_by_pixel_matrices(img, inv_map):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def tap(yi, xi):
-        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
-        return jnp.where(inside[..., None], v, 0.0)
+    shifted = jnp.concatenate([img[:, 1:], jnp.zeros((h, 1, c), img.dtype)],
+                              axis=1)
+    pair = jnp.concatenate([img, shifted], axis=-1)             # (H, W, 2C)
 
-    v00 = tap(y0i, x0i)
-    v01 = tap(y0i, x0i + 1)
-    v10 = tap(y0i + 1, x0i)
-    v11 = tap(y0i + 1, x0i + 1)
+    inx = (x0i >= 0) & (x0i < w)
+    inx1 = (x0i + 1 >= 0) & (x0i + 1 < w)
+
+    def tap(yi):
+        iny = (yi >= 0) & (yi < h)
+        v = pair[jnp.clip(yi, 0, h - 1), jnp.clip(x0i, 0, w - 1)]
+        va = jnp.where((iny & inx)[..., None], v[..., :c], 0.0)
+        vb = jnp.where((iny & inx1)[..., None], v[..., c:], 0.0)
+        return va, vb
+
+    v00, v01 = tap(y0i)
+    v10, v11 = tap(y0i + 1)
     return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
             + (v10 * (1 - fx) + v11 * fx) * fy)
 
@@ -265,106 +276,115 @@ class _FgInfo(NamedTuple):
     boxes: jnp.ndarray       # (MAX_FG, 4)
     valid: jnp.ndarray       # (MAX_FG,)
     scores: jnp.ndarray      # (MAX_FG,)
+    best_id: jnp.ndarray     # (H, W) int32: strongest-mask box per pixel
+    cover: jnp.ndarray       # (H, W) combined coverage 1-prod(1-m_i)
+    union: jnp.ndarray       # (H, W) max_i m_i (bg_only's fg-union mask)
 
 
-def _apply_geo_bboxes_only(img, key, geo_op, fg: _FgInfo, img_shape,
-                           severity, sigma_ratio):
-    """bboxes_only_{rotate,shear,translate}: per-box warp + blurred blend,
-    single gather pass via per-pixel matrices."""
-    h, w = img.shape[0], img.shape[1]
-    mats = _op_matrices(key, geo_op, fg.boxes, fg.valid, img_shape, severity,
-                        is_bg=jnp.asarray(False))
-    inv = jax.vmap(_invert_2x3)(mats).reshape(-1, 6)            # (G, 6)
-
-    # per-pixel: strongest box id + coverage, accumulated without (G,H,W)
+def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
+    """Per-image mask maps shared by every aug call (the boxes never change
+    within a view, so this runs once, not 27x)."""
     def body(i, carry):
-        best_mask, best_id, cover = carry
-        small = ((fg.boxes[i, 2] - fg.boxes[i, 0]) < 1) | \
-                ((fg.boxes[i, 3] - fg.boxes[i, 1]) < 1)
-        m = _blurred_box_mask(fg.boxes[i], h, w, sigma_ratio)
-        m = jnp.where(fg.valid[i] & ~small, m, 0.0)
+        best_mask, best_id, cover, union = carry
+        small = ((boxes[i, 2] - boxes[i, 0]) < 1) | \
+                ((boxes[i, 3] - boxes[i, 1]) < 1)
+        m = _blurred_box_mask(boxes[i], h, w, sigma_ratio)
+        m = jnp.where(valid[i] & ~small, m, 0.0)
         better = m > best_mask
         best_id = jnp.where(better, i, best_id)
         best_mask = jnp.maximum(best_mask, m)
-        cover = cover + m - cover * m                            # 1-prod(1-m)
-        return best_mask, best_id, cover
+        cover = cover + m - cover * m
+        union = jnp.maximum(union, m)
+        return best_mask, best_id, cover, union
 
-    best_mask = jnp.zeros((h, w))
-    best_id = jnp.zeros((h, w), jnp.int32)
-    cover = jnp.zeros((h, w))
-    best_mask, best_id, cover = jax.lax.fori_loop(
-        0, fg.boxes.shape[0], body, (best_mask, best_id, cover))
+    z = jnp.zeros((h, w))
+    _, best_id, cover, union = jax.lax.fori_loop(
+        0, boxes.shape[0], body, (z, jnp.zeros((h, w), jnp.int32), z, z))
+    return best_id, cover, union
 
-    inv_map = inv[best_id]                                       # (H, W, 6)
+
+def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
+    """bboxes_only_*: ONE warp pass with per-pixel matrices gathered by the
+    precomputed strongest-box assignment; blend by coverage."""
+    inv_map = inv_boxes[fg.best_id]                              # (H, W, 6)
     warped = _warp_by_pixel_matrices(img, inv_map)
-    out = img * (1.0 - cover[..., None]) + warped * cover[..., None]
+    out = img * (1.0 - fg.cover[..., None]) + warped * fg.cover[..., None]
     return jnp.clip(jnp.round(out), 0, 255)
 
 
-def _apply_geo_bg_only(img, key, geo_op, fg: _FgInfo, img_shape, severity,
-                       sigma_ratio):
-    """bg_only_*: one global warp; fg union mask (and its warp) preserved
-    (reference bbox_augmentation.py:240-272)."""
+def _apply_geo_bg_only(img, fg: _FgInfo, inv_bg):
+    """bg_only_*: one global warp of (img, fg-union mask); warped-or-not fg
+    regions keep original content (reference bbox_augmentation.py:240-272)."""
     h, w = img.shape[0], img.shape[1]
-    mats = _op_matrices(key, geo_op,
-                        jnp.zeros((1, 4)), jnp.ones((1,), bool),
-                        img_shape, severity, is_bg=jnp.asarray(True))
-    inv = _invert_2x3(mats[0])
-    inv_map = jnp.broadcast_to(inv.reshape(6), (h, w, 6))
-
-    def body(i, m):
-        mi = _blurred_box_mask(fg.boxes[i], h, w, sigma_ratio)
-        return jnp.maximum(m, jnp.where(fg.valid[i], mi, 0.0))
-
-    fg_union = jax.lax.fori_loop(0, fg.boxes.shape[0], body,
-                                 jnp.zeros((h, w)))
-    both = jnp.concatenate([img, fg_union[..., None] * 255.0], axis=-1)
+    inv_map = jnp.broadcast_to(inv_bg.reshape(6), (h, w, 6))
+    both = jnp.concatenate([img, fg.union[..., None] * 255.0], axis=-1)
     warped = _warp_by_pixel_matrices(both, inv_map)
     warped_img = warped[..., :3]
     warped_mask = warped[..., 3] / 255.0
-    maintained = jnp.maximum(fg_union, warped_mask)[..., None]
+    maintained = jnp.maximum(fg.union, warped_mask)[..., None]
     out = maintained * img + (1.0 - maintained) * warped_img
     return jnp.clip(jnp.round(out), 0, 255)
 
 
-def _apply_photometric(img, key, photo_op, severity, all_ops: bool):
-    """Select among the LUT ops by index (cheap: all computed, one chosen)."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    lvl = jax.random.uniform(k1, minval=0.1, maxval=severity)
-    bits = 4 - jnp.floor(lvl * 4.0 / 10.0).astype(jnp.int32)
-    thr = 256 - jnp.floor(lvl * 256.0 / 10.0).astype(jnp.int32)
-    outs = [autocontrast(img), equalize(img),
-            posterize(img, jnp.maximum(bits, 1)), solarize(img, thr)]
-    if all_ops:
-        f = lvl * 1.8 / 10.0 + 0.1
-        outs += [invert(img), enhance_color(img, f),
-                 enhance_contrast(img, f), enhance_brightness(img, f),
-                 enhance_sharpness(img, f)]
-    stack = jnp.stack(outs)                                      # (P, H, W, C)
-    return stack[jnp.clip(photo_op, 0, stack.shape[0] - 1)]
-
-
-def _aug_once(img, key, fg: _FgInfo, img_shape, severity, sigma_ratio,
+def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
               version: str):
-    """One reference ``aug()`` call (oa_mix.py:264): random op from the list
-    applied to the full image."""
-    n_photo = 4 if version == "augmix" else 9
-    n_ops = n_photo + 6
-    k_op, k_p, k_g = jax.random.split(key, 3)
-    op = jax.random.randint(k_op, (), 0, n_ops)
+    """One reference ``aug()`` call (oa_mix.py:264): the sampled op applied
+    to the full image.
 
-    photo = _apply_photometric(img, k_p, op, severity,
-                               all_ops=(version != "augmix"))
-    is_photo = op < n_photo
-    geo_idx = op - n_photo                      # 0..5
-    is_bbox_geo = geo_idx < 3
-    geo_op = jnp.where(is_bbox_geo, geo_idx, geo_idx - 3)
-    bbox_out = _apply_geo_bboxes_only(img, k_g, geo_op, fg, img_shape,
-                                      severity, sigma_ratio)
-    bg_out = _apply_geo_bg_only(img, k_g, geo_op, fg, img_shape, severity,
-                                sigma_ratio)
-    geo = jnp.where(is_bbox_geo, bbox_out, bg_out)
-    return jnp.where(is_photo, photo, geo)
+    ``op_idx`` is traced; dispatch is a ``lax.switch`` over the reference's
+    op list (get_aug_list, oa_mix.py:15) — outside of vmap only the selected
+    branch executes, so the expensive warp branches cost nothing when a LUT
+    op is drawn.
+    """
+    all_ops = version != "augmix"
+    n_photo = 9 if all_ops else 4
+
+    def lvl_from(k):
+        return 0.1 + jax.random.uniform(k) * (severity - 0.1)
+
+    def br_auto(k):
+        return autocontrast(img)
+
+    def br_eq(k):
+        return equalize(img)
+
+    def br_post(k):
+        bits = 4 - jnp.floor(lvl_from(k) * 4.0 / 10.0).astype(jnp.int32)
+        return posterize(img, jnp.maximum(bits, 1))
+
+    def br_sol(k):
+        thr = 256 - jnp.floor(lvl_from(k) * 256.0 / 10.0).astype(jnp.int32)
+        return solarize(img, thr)
+
+    def br_inv(k):
+        return invert(img)
+
+    def _f(k):
+        return lvl_from(k) * 1.8 / 10.0 + 0.1
+
+    def br_geo(family: int, is_bg: bool):
+        def fn(k):
+            boxes = (jnp.zeros((1, 4)) if is_bg else fg.boxes)
+            valid = (jnp.ones((1,), bool) if is_bg else fg.valid)
+            mats = _op_matrices(k, family, boxes, valid, img_shape, severity,
+                                is_bg=is_bg)
+            inv = jax.vmap(_invert_2x3)(mats)
+            if is_bg:
+                return _apply_geo_bg_only(img, fg, inv[0])
+            return _apply_geo_bboxes_only(img, fg, inv.reshape(-1, 6))
+        return fn
+
+    branches = [br_auto, br_eq, br_post, br_sol]
+    if all_ops:
+        branches += [br_inv,
+                     lambda k: enhance_color(img, _f(k)),
+                     lambda k: enhance_contrast(img, _f(k)),
+                     lambda k: enhance_brightness(img, _f(k)),
+                     lambda k: enhance_sharpness(img, _f(k))]
+    branches += [br_geo(0, False), br_geo(1, False), br_geo(2, False),
+                 br_geo(0, True), br_geo(1, True), br_geo(2, True)]
+    return jax.lax.switch(jnp.clip(op_idx, 0, len(branches) - 1),
+                          branches, key)
 
 
 # -------------------------------------------------------------- oamix ------
@@ -391,46 +411,52 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         v, _blurred_box_mask(b, h, w, sigma_ratio), 0.0))(ml_boxes, ml_valid)
     union_mask = jnp.max(ml_masks, axis=0)
 
-    # fg regions: saliency scores + static slots
+    # fg regions: saliency scores + static slots + per-image mask maps
+    # (computed ONCE, shared by all ~27 aug calls of this view)
     fg_boxes = gt_boxes[:MAX_FG]
     fg_valid = gt_valid[:MAX_FG]
     scores = jax.vmap(lambda b, v: jnp.where(
         v, saliency_score(img, b, min_size=spatial_ratio), -1.0))(
         fg_boxes, fg_valid)
-    fg = _FgInfo(fg_boxes, fg_valid, scores)
+    best_id, cover, union = _precompute_fg_maps(fg_boxes, fg_valid, h, w,
+                                                sigma_ratio)
+    fg = _FgInfo(fg_boxes, fg_valid, scores, best_id, cover, union)
 
-    # Dirichlet chain weights
+    # Dirichlet chain weights + all op draws up front
     ws = jax.random.dirichlet(keys[1], jnp.ones((width,)))
+    n_ops = (4 if version == "augmix" else 9) + 6
+    max_depth = 3
+    n_slots = MAX_ML + 1
+    k_ops, k_calls = jax.random.split(keys[2])
+    op_draw = jax.random.randint(k_ops, (width, max_depth, n_slots), 0, n_ops)
+    call_keys = jax.random.split(k_calls, width * max_depth * n_slots)
+    call_keys = call_keys.reshape(width, max_depth, n_slots, -1)
 
     # chain-and-mix
-    def chain(kc):
-        kd, kc = jax.random.split(kc)
+    def chain(wi, kc):
         depth = (depth_cfg if depth_cfg > 0
-                 else jax.random.randint(kd, (), 1, 4))
+                 else jax.random.randint(kc, (), 1, 4))
 
-        def depth_step(d, carry):
-            img_aug, kk = carry
-            kk, *kslots = jax.random.split(kk, MAX_ML + 2)
-            # one aug per random-box slot + one for the complement
+        def depth_step(d, img_aug):
             img_tmp = jnp.zeros_like(img_aug)
             for s in range(MAX_ML):
-                out_s = _aug_once(img_aug, kslots[s], fg, img_shape,
-                                  severity, sigma_ratio, version)
+                out_s = _aug_once(img_aug, call_keys[wi, d, s],
+                                  op_draw[wi, d, s], fg, img_shape,
+                                  severity, version)
                 img_tmp = img_tmp + ml_masks[s][..., None] * out_s
-            out_bg = _aug_once(img_aug, kslots[MAX_ML], fg, img_shape,
-                               severity, sigma_ratio, version)
+            out_bg = _aug_once(img_aug, call_keys[wi, d, MAX_ML],
+                               op_draw[wi, d, MAX_ML], fg, img_shape,
+                               severity, version)
             new = img_tmp + (1.0 - union_mask[..., None]) * out_bg
             new = jnp.clip(jnp.round(new), 0, 255)
-            keep = d < depth
-            return jnp.where(keep, new, img_aug), kk
+            return jnp.where(d < depth, new, img_aug)
 
-        img_aug, _ = jax.lax.fori_loop(0, 3, depth_step, (img, kc))
-        return img_aug
+        return jax.lax.fori_loop(0, max_depth, depth_step, img)
 
-    chain_keys = jax.random.split(keys[2], width)
+    chain_keys = jax.random.split(keys[5], width)
     img_oamix = jnp.zeros_like(img)
     for i in range(width):
-        img_oamix = img_oamix + ws[i] * chain(chain_keys[i])
+        img_oamix = img_oamix + ws[i] * chain(i, chain_keys[i])
 
     # object-aware mixing regions: low-saliency fg + oa random boxes
     low_sal = fg_valid & (scores <= float(cfg.get("score_thresh", 10)))
@@ -459,7 +485,7 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     region_boxes = jnp.concatenate([fg_boxes, oa_boxes], axis=0)
     region_valid = jnp.concatenate([low_sal, oa_valid], axis=0)
     region_scores = jnp.concatenate([scores, oa_scores], axis=0)
-    mkeys = jax.random.split(keys[4], region_boxes.shape[0])
+    mix_us = jax.random.uniform(keys[4], (region_boxes.shape[0],))
 
     def mix_body(i, carry):
         orig, aug, mask_sum = carry
@@ -469,7 +495,7 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         new_sum = mask_sum + m
         mask_max = jnp.maximum(mask_sum, m)
         overlap = new_sum - mask_max
-        u = jax.random.uniform(mkeys[i])
+        u = mix_us[i]
         m_oa = jnp.where(region_scores[i] <= float(cfg.get("score_thresh", 10)),
                          u * 0.5, u)
         wgt = (m - overlap * 0.5)[..., None]
@@ -522,8 +548,13 @@ def oamix_batch(img_raw, gt_bboxes, gt_valid, img_shape, key,
             oam = (jnp.zeros((MAX_OA, 4)), jnp.zeros((MAX_OA,), bool))
         return (jnp.stack(views), ml[0], ml[1], oam[0], oam[1])
 
+    # trace-time loop over the (small, static) batch instead of vmap: under
+    # vmap every lax.switch branch would execute for every image; unrolled,
+    # only each image's sampled ops run.
     keys = jax.random.split(key, b)
-    aug, mlb, mlv, oab, oav = jax.vmap(per_image)(
-        img_raw, gt_bboxes, gt_valid, img_shape, keys)
+    outs = [per_image(img_raw[i], gt_bboxes[i], gt_valid[i], img_shape[i],
+                      keys[i]) for i in range(b)]
+    aug, mlb, mlv, oab, oav = (jnp.stack([o[j] for o in outs])
+                               for j in range(5))
     return dict(aug=aug, multilevel_boxes=mlb, multilevel_valid=mlv,
                 oamix_boxes=oab, oamix_valid=oav)

@@ -50,38 +50,55 @@ def _apply_lut(img: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
 
 
 def autocontrast(img: jnp.ndarray) -> jnp.ndarray:
-    hist = _histogram_per_channel(img)                          # (C, 256)
-    idx = jnp.arange(256)
-    nz = hist > 0
-    lo = jnp.min(jnp.where(nz, idx[None, :], 256), axis=1)      # (C,)
-    hi = jnp.max(jnp.where(nz, idx[None, :], -1), axis=1)
-    span = (hi - lo).astype(jnp.float32)
+    """Gather-free: PIL's nonzero-histogram extremes are simply the per
+    channel min/max pixel values; the LUT ``clip(trunc(i*scale+offset))`` is
+    applied arithmetically (TPU gathers/scatters are scalar-granularity and
+    slow, so no histogram is built)."""
+    x = jnp.clip(img, 0, 255)
+    xi = jnp.trunc(x)                                           # uint8 value
+    lo = jnp.min(xi, axis=(0, 1))                               # (C,)
+    hi = jnp.max(xi, axis=(0, 1))
+    span = hi - lo
     scale = 255.0 / jnp.where(span > 0, span, 1.0)
-    offset = -lo.astype(jnp.float32) * scale
-    ramp = idx[None, :].astype(jnp.float32) * scale[:, None] + offset[:, None]
-    lut = jnp.clip(jnp.trunc(ramp), 0, 255).astype(jnp.float32)
-    ident = idx[None, :].astype(jnp.float32)
-    lut = jnp.where((hi > lo)[:, None], lut, ident)
-    return _apply_lut(img, lut)
+    out = jnp.clip(jnp.trunc(xi * scale - lo * scale), 0, 255)
+    return jnp.where(span > 0, out, xi)
 
 
 def equalize(img: jnp.ndarray) -> jnp.ndarray:
-    hist = _histogram_per_channel(img)
+    """Gather/scatter-free equalize: the histogram is a compare-reduce
+    (counts[i] = sum(p == i), fused by XLA into one reduction) and the
+    monotone LUT is applied as out = lut[0] + sum_i (p >= i) * diff(lut)[i]
+    — both O(256*N) VPU ops, no memory-indirect access."""
+    x = jnp.trunc(jnp.clip(img, 0, 255))                        # (H, W, C)
+    c = x.shape[-1]
+    bins = jnp.arange(256, dtype=jnp.float32)
+    flat = x.reshape(-1, c)                                     # (N, C)
+    hist = jnp.sum(flat[:, None, :] == bins[None, :, None], axis=0,
+                   dtype=jnp.int32)                             # (256, C)
+    hist = hist.T                                               # (C, 256)
     idx = jnp.arange(256)
     nz = hist > 0
-    n_nz = jnp.sum(nz, axis=1)                                  # (C,)
+    n_nz = jnp.sum(nz, axis=1)
     last_idx = jnp.max(jnp.where(nz, idx[None, :], -1), axis=1)
-    h_last = jnp.take_along_axis(hist, jnp.clip(last_idx, 0)[:, None], axis=1)[:, 0]
+    h_last = jnp.take_along_axis(hist, jnp.clip(last_idx, 0)[:, None],
+                                 axis=1)[:, 0]
     total = jnp.sum(hist, axis=1)
-    step = (total - h_last) // 255                              # (C,)
+    step = (total - h_last) // 255
     cum_before = jnp.concatenate(
-        [jnp.zeros((hist.shape[0], 1), jnp.int32), jnp.cumsum(hist, axis=1)[:, :-1]], axis=1)
+        [jnp.zeros((c, 1), jnp.int32), jnp.cumsum(hist, axis=1)[:, :-1]],
+        axis=1)
     step_safe = jnp.where(step > 0, step, 1)
-    lut = jnp.clip((step_safe[:, None] // 2 + cum_before) // step_safe[:, None], 0, 255)
-    ident = idx[None, :]
+    lut = jnp.clip((step_safe[:, None] // 2 + cum_before)
+                   // step_safe[:, None], 0, 255)
     use_ident = (n_nz <= 1) | (step == 0)
-    lut = jnp.where(use_ident[:, None], ident, lut).astype(jnp.float32)
-    return _apply_lut(img, lut)
+    lut = jnp.where(use_ident[:, None], idx[None, :], lut).astype(jnp.float32)
+    # monotone LUT application via threshold sum (no per-pixel gather)
+    dlut = jnp.diff(lut, axis=1)                                # (C, 255)
+    thresholds = bins[1:]                                       # (255,)
+    ge = flat[:, None, :] >= thresholds[None, :, None]          # fused
+    out = lut[:, 0][None, :] + jnp.sum(
+        ge * dlut.T[None, :, :], axis=1)                        # (N, C)
+    return out.reshape(x.shape)
 
 
 def posterize(img: jnp.ndarray, bits) -> jnp.ndarray:
