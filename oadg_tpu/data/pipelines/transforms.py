@@ -258,3 +258,91 @@ class RandomCrop:
             if key == "gt_bboxes" and "gt_labels" in results:
                 results["gt_labels"] = results["gt_labels"][keep]
         return results
+
+
+@PIPELINES.register_module()
+class Expand:
+    """Random canvas expansion (reference transforms.py:1045)."""
+
+    def __init__(self, mean=(0, 0, 0), to_rgb=True, ratio_range=(1, 4),
+                 prob=0.5):
+        self.mean = mean
+        self.to_rgb = to_rgb
+        self.min_ratio, self.max_ratio = ratio_range
+        self.prob = prob
+
+    def __call__(self, results):
+        if np.random.uniform(0, 1) > self.prob:
+            return results
+        img = results["img"]
+        h, w, c = img.shape
+        ratio = np.random.uniform(self.min_ratio, self.max_ratio)
+        eh, ew = int(h * ratio), int(w * ratio)
+        top = int(np.random.uniform(0, eh - h))
+        left = int(np.random.uniform(0, ew - w))
+        mean = self.mean[::-1] if self.to_rgb else self.mean
+        canvas = np.full((eh, ew, c), mean, dtype=img.dtype)
+        canvas[top:top + h, left:left + w] = img
+        results["img"] = canvas
+        results["img_shape"] = canvas.shape
+        for key in results.get("bbox_fields", []):
+            results[key] = results[key] + np.array(
+                [left, top, left, top], np.float32)
+        return results
+
+
+@PIPELINES.register_module()
+class MinIoURandomCrop:
+    """IoU-constrained random crop (reference transforms.py:1137)."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9), min_crop_size=0.3,
+                 bbox_clip_border=True):
+        self.min_ious = (1, *min_ious, 0)
+        self.min_crop_size = min_crop_size
+        self.bbox_clip_border = bbox_clip_border
+
+    def __call__(self, results):
+        from ...core.bbox.geometry import bbox_overlaps_np
+        img = results["img"]
+        h, w = img.shape[:2]
+        boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        while True:
+            mode = self.min_ious[np.random.randint(len(self.min_ious))]
+            if mode == 1:
+                return results
+            for _ in range(50):
+                new_w = np.random.uniform(self.min_crop_size * w, w)
+                new_h = np.random.uniform(self.min_crop_size * h, h)
+                if new_h / new_w < 0.5 or new_h / new_w > 2:
+                    continue
+                left = np.random.uniform(w - new_w)
+                top = np.random.uniform(h - new_h)
+                patch = np.array([int(left), int(top), int(left + new_w),
+                                  int(top + new_h)])
+                if len(boxes):
+                    ious = bbox_overlaps_np(
+                        boxes, patch[None].astype(np.float32)).reshape(-1)
+                    if len(ious) and ious.min() < mode:
+                        continue
+                    centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+                    mask = ((centers[:, 0] > patch[0])
+                            & (centers[:, 1] > patch[1])
+                            & (centers[:, 0] < patch[2])
+                            & (centers[:, 1] < patch[3]))
+                    if not mask.any():
+                        continue
+                else:
+                    mask = np.zeros(0, bool)
+                for key in results.get("img_fields", ["img"]):
+                    results[key] = results[key][patch[1]:patch[3],
+                                                patch[0]:patch[2]]
+                results["img_shape"] = results["img"].shape
+                if len(boxes):
+                    kept = boxes[mask] - np.tile(patch[:2], 2)
+                    if self.bbox_clip_border:
+                        kept[:, 0::2] = kept[:, 0::2].clip(0, patch[2] - patch[0])
+                        kept[:, 1::2] = kept[:, 1::2].clip(0, patch[3] - patch[1])
+                    results["gt_bboxes"] = kept.astype(np.float32)
+                    if "gt_labels" in results:
+                        results["gt_labels"] = results["gt_labels"][mask]
+                return results

@@ -118,6 +118,23 @@ class EpochBasedRunner:
         self.epoch = 0
         self.iter = 0
         self._preprocess = preprocess
+        self.det = detector
+        self.hooks = self._build_hooks(cfg)
+
+    def _build_hooks(self, cfg):
+        from ..core.hook import Hook  # noqa: F401  (registers hook classes)
+        from ..utils.registry import HOOKS, build_from_cfg
+        hooks = []
+        for hc in list(cfg.get("custom_hooks") or []):
+            try:
+                hooks.append(build_from_cfg(dict(hc), HOOKS))
+            except KeyError as e:
+                self.logger.warning(f"skipping unknown hook {hc}: {e}")
+        return hooks
+
+    def call_hooks(self, stage: str, *args):
+        for h in self.hooks:
+            getattr(h, stage)(self, *args)
 
     def _first_batch(self):
         for b in self.loader:
@@ -179,6 +196,7 @@ class EpochBasedRunner:
             scal["time"] = step_time
             scal["data_time"] = data_time
             window.append(scal)
+            self.call_hooks("after_train_iter", scal)
             if (i + 1) % self.log_interval == 0:
                 avg = {k: float(np.mean([w[k] for w in window]))
                        for k in window[0]}
@@ -197,8 +215,11 @@ class EpochBasedRunner:
     def run(self):
         self.logger.info(f"Start training: {self.max_epochs} epochs, "
                          f"{len(self.loader)} iters/epoch")
+        self.call_hooks("before_run")
         while self.epoch < self.max_epochs:
+            self.call_hooks("before_train_epoch")
             self.train_epoch()
+            self.call_hooks("after_train_epoch")
             self.epoch += 1
             if self.epoch % self.ckpt_interval == 0:
                 self.save()
@@ -208,6 +229,7 @@ class EpochBasedRunner:
                 self.json_log.write(json.dumps(
                     dict(mode="val", epoch=self.epoch, **metrics)) + "\n")
                 self.json_log.flush()
+        self.call_hooks("after_run")
 
     # ---------------- eval ----------------
 
