@@ -49,7 +49,7 @@ class BasicBlock(nn.Module):
         if self.downsample:
             identity = Conv(self.planes, 1, self.stride, 0, use_bias=False,
                             dtype=self.dtype, name="downsample_conv")(x)
-            identity = norm()(identity)
+            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -83,7 +83,7 @@ class Bottleneck(nn.Module):
         if self.downsample:
             identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False,
                             dtype=self.dtype, name="downsample_conv")(x)
-            identity = norm()(identity)
+            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 

@@ -282,16 +282,16 @@ def spatter(x, severity=1):
     liquid = np.random.normal(size=x.shape[:2], loc=c[0], scale=c[1])
     liquid = ndi.gaussian_filter(liquid, sigma=c[2])
     liquid[liquid < c[3]] = 0
-    if c[5] == 0:  # water
-        liquid = (liquid * 255).astype(np.uint8)
-        dist = 255 - cv2.Canny(liquid, 50, 150)
+    if c[5] == 0:  # water droplets (simplified edge-distance shading)
+        liquid_u8 = (np.clip(liquid, 0, 1) * 255).astype(np.uint8)
+        dist = 255 - cv2.Canny(liquid_u8, 50, 150)
         dist = cv2.distanceTransform(dist, cv2.DIST_L2, 5)
         dist = np.clip(cv2.blur(dist, (3, 3)), 0, 20) / 20.0
-        m = ndi.gaussian_filter(liquid / 255.0 * dist, sigma=c[4])
-        m[m < 0.8] = 0
+        m = ndi.gaussian_filter((liquid_u8 / 255.0) * dist, sigma=c[4])
+        m = np.clip(m * 2.0, 0, 1)
         water = np.stack([0.65 * np.ones_like(m), 0.7 * np.ones_like(m),
                           0.8 * np.ones_like(m)], -1) * m[..., None]
-        return _to_uint8(np.clip(x + water, 0, 1))
+        return _to_uint8(np.clip(x * (1 - 0.6 * m[..., None]) + water, 0, 1))
     # mud
     m = np.where(liquid > c[3], 1.0, 0.0)
     m = ndi.gaussian_filter(m, sigma=c[4])

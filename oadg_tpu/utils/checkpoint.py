@@ -75,7 +75,7 @@ def convert_torch_state_dict(sd: Dict[str, "np.ndarray"],
                                       "Conv_0", "kernel"), _conv_kernel(v))
                     else:                    # bn
                         _bn(params, stats,
-                            ("backbone_m", mod, "FrozenBN_3"), parts[5], v)
+                            ("backbone_m", mod, "downsample_bn"), parts[5], v)
         # ---- neck (FPN) ----
         elif parts[0] == "neck":
             m = re.match(r"(lateral_convs|fpn_convs)", parts[1])

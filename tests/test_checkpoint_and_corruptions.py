@@ -1,0 +1,128 @@
+"""torch->jax checkpoint conversion (key mapping completeness) and the
+corruption suite."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _fake_torch_r18_frcnn_sd():
+    """Build a state_dict shaped like mmdet FasterRCNN R18-FPN (num_classes
+    2, tiny channels) matching the test model below."""
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[f"{name}.weight"] = np.random.randn(cout, cin, k, k).astype(np.float32)
+
+    def bn(name, c):
+        for leaf, v in (("weight", np.ones(c)), ("bias", np.zeros(c)),
+                        ("running_mean", np.zeros(c)),
+                        ("running_var", np.ones(c))):
+            sd[f"{name}.{leaf}"] = v.astype(np.float32)
+
+    conv("backbone.conv1", 16, 3, 7)
+    bn("backbone.bn1", 16)
+    chans = [16, 32, 64, 128]
+    for li, c in enumerate(chans, start=1):
+        cin = chans[li - 2] if li > 1 else 16
+        for bi in range(2):
+            pre = f"backbone.layer{li}.{bi}"
+            conv(f"{pre}.conv1", c, c if bi or li == 1 else cin, 3)
+            bn(f"{pre}.bn1", c)
+            conv(f"{pre}.conv2", c, c, 3)
+            bn(f"{pre}.bn2", c)
+            if bi == 0 and li > 1:
+                conv(f"{pre}.downsample.0", c, cin, 1)
+                bn(f"{pre}.downsample.1", c)
+    for i, cin in enumerate(chans):
+        sd[f"neck.lateral_convs.{i}.conv.weight"] = \
+            np.random.randn(16, cin, 1, 1).astype(np.float32)
+        sd[f"neck.lateral_convs.{i}.conv.bias"] = np.zeros(16, np.float32)
+        sd[f"neck.fpn_convs.{i}.conv.weight"] = \
+            np.random.randn(16, 16, 3, 3).astype(np.float32)
+        sd[f"neck.fpn_convs.{i}.conv.bias"] = np.zeros(16, np.float32)
+    conv("rpn_head.rpn_conv", 16, 16, 3)
+    sd["rpn_head.rpn_conv.bias"] = np.zeros(16, np.float32)
+    conv("rpn_head.rpn_cls", 3, 16, 1)
+    sd["rpn_head.rpn_cls.bias"] = np.zeros(3, np.float32)
+    conv("rpn_head.rpn_reg", 12, 16, 1)
+    sd["rpn_head.rpn_reg.bias"] = np.zeros(12, np.float32)
+    sd["roi_head.bbox_head.shared_fcs.0.weight"] = \
+        np.random.randn(32, 16 * 49).astype(np.float32)
+    sd["roi_head.bbox_head.shared_fcs.0.bias"] = np.zeros(32, np.float32)
+    sd["roi_head.bbox_head.shared_fcs.1.weight"] = \
+        np.random.randn(32, 32).astype(np.float32)
+    sd["roi_head.bbox_head.shared_fcs.1.bias"] = np.zeros(32, np.float32)
+    sd["roi_head.bbox_head.fc_cls.weight"] = \
+        np.random.randn(9, 32).astype(np.float32)
+    sd["roi_head.bbox_head.fc_cls.bias"] = np.zeros(9, np.float32)
+    sd["roi_head.bbox_head.fc_reg.weight"] = \
+        np.random.randn(32, 32).astype(np.float32)
+    sd["roi_head.bbox_head.fc_reg.bias"] = np.zeros(32, np.float32)
+    return sd
+
+
+def test_torch_conversion_covers_every_param():
+    from oadg_tpu.utils.checkpoint import (convert_torch_state_dict,
+                                           merge_variables)
+    from tests.test_forward import BASE_MODEL, TEST_CFG, TRAIN_CFG, _batch
+    from oadg_tpu.models import build_detector
+
+    det = build_detector(BASE_MODEL, TRAIN_CFG, TEST_CFG)
+    batch = _batch()
+    variables = jax.jit(lambda r, b: det.init(r, b, "train"))(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch)
+    sd = _fake_torch_r18_frcnn_sd()
+    loaded = convert_torch_state_dict(sd, roi_feat_size=7, roi_channels=16)
+
+    class Collect:
+        def __init__(self):
+            self.msgs = []
+
+        def warning(self, m):
+            self.msgs.append(m)
+
+        def info(self, m):
+            self.msgs.append(m)
+
+    log = Collect()
+    merged = merge_variables(variables, loaded, logger=log)
+    mismatches = [m for m in log.msgs
+                  if "shape mismatch" in m or "unexpected" in m]
+    assert not mismatches, mismatches[:10]
+    assert any("'mismatched': 0" in m for m in log.msgs)
+    # check a known conv actually landed, transposed
+    w = np.asarray(merged["params"]["backbone_m"]["conv1"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(
+        w, np.transpose(sd["backbone.conv1.weight"], (2, 3, 1, 0)))
+    # bn stats landed in batch_stats
+    assert "backbone_m" in merged["batch_stats"]
+
+
+@pytest.mark.parametrize("name", [
+    "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
+    "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "fog",
+    "brightness", "contrast", "elastic_transform", "pixelate",
+    "jpeg_compression", "speckle_noise", "gaussian_blur", "spatter",
+    "saturate"])
+def test_corruptions_run_and_change_image(name):
+    from oadg_tpu.ops.corruptions import corrupt_numpy
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 96, 3)).astype(np.uint8)
+    np.random.seed(0)
+    out = corrupt_numpy(img, name, severity=3)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).mean() > 0.5, name
+    # severity monotonicity spot check for deterministic ops
+    if name in ("contrast", "pixelate", "jpeg_compression", "brightness"):
+        d1 = np.abs(corrupt_numpy(img, name, 1).astype(int) - img).mean()
+        d5 = np.abs(corrupt_numpy(img, name, 5).astype(int) - img).mean()
+        assert d5 >= d1
+
+
+def test_corruption_severity_zero_identity():
+    from oadg_tpu.ops.corruptions import corrupt_numpy
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3)).astype(np.uint8)
+    assert corrupt_numpy(img, "gaussian_noise", 0) is img
