@@ -51,8 +51,11 @@ class Checkpointer:
         self._ckptr = ocp.PyTreeCheckpointer()
 
     def save(self, state: Dict[str, Any], step: int):
+        import flax.serialization as fser
         path = os.path.join(self.dir, f"epoch_{step}")
-        self._ckptr.save(path, state, force=True)
+        # to_state_dict flattens optax NamedTuples into plain dicts that
+        # orbax round-trips losslessly; restore() re-inflates via a template
+        self._ckptr.save(path, fser.to_state_dict(state), force=True)
         with open(os.path.join(self.dir, "latest"), "w") as f:
             f.write(f"epoch_{step}")
 
@@ -153,12 +156,13 @@ class EpochBasedRunner:
     def resume(self, path: Optional[str] = None, auto: bool = False):
         state = self.ckpt.restore(path) if (path or auto) else None
         if state is not None:
+            import flax.serialization as fser
+            template = dict(params=self.params, batch_stats=self.batch_stats,
+                            opt_state=self.opt_state, epoch=0, iter=0)
+            state = fser.from_state_dict(template, state)
             self.params = state["params"]
             self.batch_stats = state.get("batch_stats")
-            self.opt_state = jax.tree_util.tree_map(
-                lambda ref, new: jnp.asarray(new).astype(ref.dtype)
-                if hasattr(ref, "dtype") else new,
-                self.opt_state, state["opt_state"])
+            self.opt_state = state["opt_state"]
             self.epoch = int(state.get("epoch", 0))
             self.iter = int(state.get("iter", 0))
             self.logger.info(f"resumed from epoch {self.epoch}")

@@ -362,17 +362,28 @@ def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     def _f(k):
         return lvl_from(k) * 1.8 / 10.0 + 0.1
 
-    def br_geo(family: int, is_bg: bool):
-        def fn(k):
-            boxes = (jnp.zeros((1, 4)) if is_bg else fg.boxes)
-            valid = (jnp.ones((1,), bool) if is_bg else fg.valid)
-            mats = _op_matrices(k, family, boxes, valid, img_shape, severity,
-                                is_bg=is_bg)
-            inv = jax.vmap(_invert_2x3)(mats)
-            if is_bg:
-                return _apply_geo_bg_only(img, fg, inv[0])
-            return _apply_geo_bboxes_only(img, fg, inv.reshape(-1, 6))
-        return fn
+    # one branch per geo KIND (bbox/bg), with the rotate/shear/translate
+    # family selected by traced index inside — the warp code (the big graph)
+    # appears once per branch instead of three times, which matters for
+    # compile time across the ~27 switch sites per view.
+    family_idx = jnp.clip((op_idx - n_photo) % 3, 0, 2)
+
+    def _mats_any_family(k, boxes, valid, is_bg: bool):
+        ms = jnp.stack([
+            _op_matrices(k, f, boxes, valid, img_shape, severity, is_bg=is_bg)
+            for f in range(3)])                      # (3, G, 2, 3), cheap
+        return ms[family_idx]
+
+    def br_geo_bbox(k):
+        mats = _mats_any_family(k, fg.boxes, fg.valid, False)
+        inv = jax.vmap(_invert_2x3)(mats)
+        return _apply_geo_bboxes_only(img, fg, inv.reshape(-1, 6))
+
+    def br_geo_bg(k):
+        mats = _mats_any_family(k, jnp.zeros((1, 4)), jnp.ones((1,), bool),
+                                True)
+        inv = jax.vmap(_invert_2x3)(mats)
+        return _apply_geo_bg_only(img, fg, inv[0])
 
     branches = [br_auto, br_eq, br_post, br_sol]
     if all_ops:
@@ -381,9 +392,11 @@ def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
                      lambda k: enhance_contrast(img, _f(k)),
                      lambda k: enhance_brightness(img, _f(k)),
                      lambda k: enhance_sharpness(img, _f(k))]
-    branches += [br_geo(0, False), br_geo(1, False), br_geo(2, False),
-                 br_geo(0, True), br_geo(1, True), br_geo(2, True)]
-    return jax.lax.switch(jnp.clip(op_idx, 0, len(branches) - 1),
+    branches += [br_geo_bbox, br_geo_bg]
+    # op order (get_aug_list): photo..., 3x bboxes_only, 3x bg_only
+    branch_idx = jnp.where(op_idx < n_photo, op_idx,
+                           n_photo + (op_idx - n_photo) // 3)
+    return jax.lax.switch(jnp.clip(branch_idx, 0, len(branches) - 1),
                           branches, key)
 
 
