@@ -64,26 +64,35 @@ def _evaluate_img(dets, det_scores, gts, gt_crowd, gt_area, area_rng,
     crowd = gt_crowd[gt_order].astype(bool)
     ious = _iou_xywh(dets, gts, crowd)
 
-    dt_m = np.zeros((t, d), dtype=np.int64) - 1
-    gt_m = np.zeros((t, g), dtype=np.int64) - 1
-    dt_ig = np.zeros((t, d), dtype=bool)
-    for ti, thr in enumerate(IOU_THRS):
-        for di in range(d):
-            best_iou = min(thr, 1 - 1e-10)
-            best_g = -1
-            for gi in range(g):
-                if gt_m[ti, gi] >= 0 and not crowd[gi]:
-                    continue
-                if best_g >= 0 and not gt_ig[best_g] and gt_ig[gi]:
-                    break          # can't beat a non-ignored match with ignored
-                if ious[di, gi] < best_iou:
-                    continue
-                best_iou = ious[di, gi]
-                best_g = gi
-            if best_g >= 0:
-                dt_m[ti, di] = best_g
-                gt_m[ti, best_g] = di
-                dt_ig[ti, di] = gt_ig[best_g]
+    from .native import available, coco_match
+    if d and g and available():
+        # native matcher (native/eval_kernels.cpp coco_match)
+        m, ig = coco_match(ious, gt_ig.astype(np.uint8),
+                           crowd.astype(np.uint8),
+                           IOU_THRS.astype(np.float32))
+        dt_m = m.astype(np.int64)
+        dt_ig = ig.astype(bool)
+    else:
+        dt_m = np.zeros((t, d), dtype=np.int64) - 1
+        gt_m = np.zeros((t, g), dtype=np.int64) - 1
+        dt_ig = np.zeros((t, d), dtype=bool)
+        for ti, thr in enumerate(IOU_THRS):
+            for di in range(d):
+                best_iou = min(thr, 1 - 1e-10)
+                best_g = -1
+                for gi in range(g):
+                    if gt_m[ti, gi] >= 0 and not crowd[gi]:
+                        continue
+                    if best_g >= 0 and not gt_ig[best_g] and gt_ig[gi]:
+                        break      # can't beat a non-ignored match with ignored
+                    if ious[di, gi] < best_iou:
+                        continue
+                    best_iou = ious[di, gi]
+                    best_g = gi
+                if best_g >= 0:
+                    dt_m[ti, di] = best_g
+                    gt_m[ti, best_g] = di
+                    dt_ig[ti, di] = gt_ig[best_g]
     # unmatched dets outside the area range are ignored
     da = dets[:, 2] * dets[:, 3]
     out_of_rng = (da < area_rng[0]) | (da > area_rng[1])

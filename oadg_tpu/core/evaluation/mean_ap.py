@@ -33,7 +33,12 @@ def average_precision(recalls: np.ndarray, precisions: np.ndarray,
 
 def tpfp_default(det_bboxes, gt_bboxes, gt_ignore, iou_thr: float,
                  use_legacy_coordinate: bool = False):
-    """Greedy matching for one (img, class): returns (tp, fp) of shape (D,)."""
+    """Greedy matching for one (img, class): returns (tp, fp) of shape (D,).
+
+    The inner loop runs in the native kernel (native/eval_kernels.cpp,
+    the framework's counterpart of pycocotools' C matcher) when built,
+    with this numpy implementation as the fallback/reference.
+    """
     extra = 1.0 if use_legacy_coordinate else 0.0
     d = det_bboxes.shape[0]
     g = gt_bboxes.shape[0]
@@ -42,6 +47,14 @@ def tpfp_default(det_bboxes, gt_bboxes, gt_ignore, iou_thr: float,
     if g == 0:
         fp[:] = 1
         return tp, fp
+    from .native import available, iou_xyxy, tpfp_greedy
+    if d and available():
+        ious_n = iou_xyxy(det_bboxes[:, :4], gt_bboxes,
+                          use_legacy_coordinate)
+        gi = (gt_ignore.astype(np.uint8) if gt_ignore is not None else None)
+        res = tpfp_greedy(ious_n, det_bboxes[:, -1], gi, iou_thr)
+        if res is not None:
+            return res[0].astype(np.float64), res[1].astype(np.float64)
     ious = bbox_overlaps_np(det_bboxes[:, :4], gt_bboxes,
                             use_legacy_coordinate=use_legacy_coordinate)
     ious_max = ious.max(axis=1)
