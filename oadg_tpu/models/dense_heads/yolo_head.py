@@ -211,6 +211,10 @@ class YOLOV3Head(nn.Module):
 
     def get_bboxes(self, pred_maps, img_shapes, scale_factors,
                    rescale=True, cfg=None):
+        # accept the raw forward outs tuple ((maps,) or (maps, conts))
+        if isinstance(pred_maps, tuple) and isinstance(pred_maps[0],
+                                                       (list, tuple)):
+            pred_maps = pred_maps[0]
         cfg = dict(cfg or self.test_cfg or {})
         nms_pre = int(cfg.get("nms_pre", 1000))
         conf_thr = float(cfg.get("conf_thr", 0.005))

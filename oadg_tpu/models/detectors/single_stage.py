@@ -59,10 +59,9 @@ class SingleStageDetector(nn.Module):
                                       rng)
             return self.head.loss(outs, batch["gt_bboxes"],
                                   batch["gt_valid"], batch["gt_labels"], rng)
-        pred_maps = outs[0]
         sf = batch.get("scale_factor",
                        jnp.ones((batch["img"].shape[0], 4), jnp.float32))
-        return self.head.get_bboxes(pred_maps, batch["img_shape"], sf)
+        return self.head.get_bboxes(outs, batch["img_shape"], sf)
 
 
 @DETECTORS.register_module()
