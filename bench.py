@@ -74,7 +74,7 @@ def main():
     t0 = time.perf_counter()
     params, opt_state, log_vars = step(params, batch_stats, opt_state, batch,
                                        jax.random.PRNGKey(2))
-    jax.block_until_ready(log_vars)
+    _ = float(log_vars["loss"])
     compile_s = time.perf_counter() - t0
     print(f"bench: compiled in {compile_s:.1f}s", file=sys.stderr, flush=True)
 
@@ -83,7 +83,9 @@ def main():
         t0 = time.perf_counter()
         params, opt_state, log_vars = step(params, batch_stats, opt_state,
                                            batch, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(log_vars)
+        # fetch the loss scalar: a real device->host sync (block_until_ready
+        # does not reliably block on tunneled backends)
+        _ = float(log_vars["loss"])
         times.append(time.perf_counter() - t0)
 
     step_s = float(np.median(times))

@@ -212,3 +212,16 @@ class PseudoSampler:
 
     def sample_masks(self, key, assign: AssignResult):
         return assign.gt_inds > 0, assign.gt_inds == 0
+
+
+@BBOX_ASSIGNERS.register_module()
+class GridAssigner:
+    """Config-surface entry for YOLO grid assignment (reference
+    core/bbox/assigners/grid_assigner.py); the static-shape implementation
+    lives in models/dense_heads/yolo_head.py _targets_single."""
+
+    def __init__(self, pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.0,
+                 gt_max_assign_all=True, **kwargs):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou

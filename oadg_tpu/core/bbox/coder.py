@@ -127,3 +127,67 @@ class YOLOBBoxCoder:
             pred_bboxes[..., :2] - 0.5) * stride[..., None]
         whs = (bboxes[..., 2:4] - bboxes[..., :2]) * 0.5 * jnp.exp(pred_bboxes[..., 2:4])
         return jnp.concatenate([xy_centers - whs, xy_centers + whs], axis=-1)
+
+
+@BBOX_CODERS.register_module()
+class TBLRBBoxCoder:
+    """Top-bottom-left-right coder (reference
+    core/bbox/coder/tblr_bbox_coder.py; FSAF-family heads)."""
+
+    def __init__(self, normalizer=4.0, clip_border=True):
+        self.normalizer = normalizer
+        self.clip_border = clip_border
+
+    def encode(self, bboxes, gt_bboxes):
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        t = py - gt_bboxes[..., 1]
+        b = gt_bboxes[..., 3] - py
+        l = px - gt_bboxes[..., 0]
+        r = gt_bboxes[..., 2] - px
+        wh = jnp.stack([bboxes[..., 2] - bboxes[..., 0],
+                        bboxes[..., 3] - bboxes[..., 1]], -1)
+        wh = jnp.maximum(wh, 1e-6)
+        return jnp.stack([t, b, l, r], -1) / (
+            jnp.concatenate([wh[..., 1:2], wh[..., 1:2],
+                             wh[..., 0:1], wh[..., 0:1]], -1) * self.normalizer)
+
+    def decode(self, bboxes, deltas, max_shape=None):
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        t, b, l, r = (deltas[..., 0] * h * self.normalizer,
+                      deltas[..., 1] * h * self.normalizer,
+                      deltas[..., 2] * w * self.normalizer,
+                      deltas[..., 3] * w * self.normalizer)
+        out = jnp.stack([px - l, py - t, px + r, py + b], -1)
+        if self.clip_border and max_shape is not None:
+            hh, ww = max_shape[0], max_shape[1]
+            out = jnp.stack([jnp.clip(out[..., 0], 0, ww),
+                             jnp.clip(out[..., 1], 0, hh),
+                             jnp.clip(out[..., 2], 0, ww),
+                             jnp.clip(out[..., 3], 0, hh)], -1)
+        return out
+
+
+@BBOX_CODERS.register_module()
+class DistancePointBBoxCoder:
+    """Point-distance coder (reference distance_point_bbox_coder.py; FCOS)."""
+
+    def __init__(self, clip_border=True):
+        self.clip_border = clip_border
+
+    def encode(self, points, gt_bboxes, max_dis=None, eps=0.1):
+        l = points[..., 0] - gt_bboxes[..., 0]
+        t = points[..., 1] - gt_bboxes[..., 1]
+        r = gt_bboxes[..., 2] - points[..., 0]
+        b = gt_bboxes[..., 3] - points[..., 1]
+        d = jnp.stack([l, t, r, b], -1)
+        if max_dis is not None:
+            d = jnp.clip(d, 0, max_dis - eps)
+        return d
+
+    def decode(self, points, distances, max_shape=None):
+        from .transforms import distance2bbox
+        return distance2bbox(points, distances, max_shape)

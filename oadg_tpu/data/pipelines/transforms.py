@@ -346,3 +346,49 @@ class MinIoURandomCrop:
                     if "gt_labels" in results:
                         results["gt_labels"] = results["gt_labels"][mask]
                 return results
+
+
+@PIPELINES.register_module()
+class CutOut:
+    """Random square dropout (reference transforms.py CutOut)."""
+
+    def __init__(self, n_holes, cutout_shape=None, cutout_ratio=None,
+                 fill_in=(0, 0, 0)):
+        self.n_holes = n_holes if isinstance(n_holes, tuple) else (n_holes,
+                                                                   n_holes)
+        self.shape = cutout_shape
+        self.ratio = cutout_ratio
+        self.fill_in = fill_in
+
+    def __call__(self, results):
+        img = results["img"]
+        h, w = img.shape[:2]
+        n = np.random.randint(self.n_holes[0], self.n_holes[1] + 1)
+        for _ in range(n):
+            x = np.random.randint(0, w)
+            y = np.random.randint(0, h)
+            if self.ratio is not None:
+                cand = self.ratio
+                cw, ch_ = cand[np.random.randint(len(cand))] if \
+                    isinstance(cand[0], (tuple, list)) else cand
+                cw, ch_ = int(cw * w), int(ch_ * h)
+            else:
+                cand = self.shape
+                cw, ch_ = cand[np.random.randint(len(cand))] if \
+                    isinstance(cand[0], (tuple, list)) else cand
+            x2 = np.clip(x + cw, 0, w)
+            y2 = np.clip(y + ch_, 0, h)
+            img[y:y2, x:x2] = self.fill_in
+        results["img"] = img
+        return results
+
+
+@PIPELINES.register_module()
+class Albu:
+    """Albumentations wrapper (reference transforms.py Albu). The package is
+    not in this image; constructing this op raises with a clear message."""
+
+    def __init__(self, *a, **kw):
+        raise ImportError(
+            "albumentations is not available in this environment; replace "
+            "the Albu pipeline op with in-repo transforms")

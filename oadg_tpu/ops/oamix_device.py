@@ -272,6 +272,64 @@ def _warp_by_pixel_matrices(img, inv_map):
 
 # ----------------------------------------------------------- chain step ----
 
+def _lerp_axis(pair, idx, frac, axis: int, limit: int):
+    """2-tap linear interp along one axis from a channel-paired table.
+
+    ``pair`` holds (x, shift(x)) in split channels so ONE axis-aligned
+    take_along_axis fetches both taps — single-axis gathers run at HBM
+    bandwidth on TPU, unlike 2D-indirect gathers (which additionally
+    poison lax.switch compilation)."""
+    c = pair.shape[-1] // 2
+    v = jnp.take_along_axis(pair, jnp.clip(idx, 0, limit - 1)[..., None],
+                            axis=axis)
+    ok = ((idx >= -1) & (idx <= limit - 1))[..., None]
+    a = jnp.where(ok & (idx >= 0)[..., None], v[..., :c], 0.0)
+    b = jnp.where(ok & (idx + 1 <= limit - 1)[..., None], v[..., c:], 0.0)
+    f = frac[..., None]
+    return a * (1 - f) + b * f
+
+
+def _warp_affine_2pass(img, inv):
+    """Affine warp via the two-pass separable decomposition
+    (Catmull-Smith): a horizontal resample with row-dependent coefficients
+    followed by a vertical resample — only axis-aligned gathers, no 2D
+    indirection. ``inv`` is the 2x3 output->source map
+    [sx; sy] = [[a,b,c],[d,e,f]] @ [xo, yo, 1].
+
+    Within-quantization-tolerance divergence from direct bilinear (the
+    classic 2-pass approximation); border semantics are cv2 BORDER_CONSTANT
+    zeros. Requires |e| not tiny (true for the OA-Mix op families:
+    rotations <= 30 deg, shears <= 0.3, translations).
+    """
+    h, w = img.shape[0], img.shape[1]
+    c = img.shape[-1]
+    a, b, cc = inv[0, 0], inv[0, 1], inv[0, 2]
+    d, e, f = inv[1, 0], inv[1, 1], inv[1, 2]
+    e_safe = jnp.where(jnp.abs(e) < 1e-3, 1e-3, e)
+
+    xo = jnp.arange(w, dtype=jnp.float32)[None, :]
+    u = jnp.arange(h, dtype=jnp.float32)[:, None]
+    yo = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    # pass 1 (horizontal): tmp[u, xo] = img[u, gx(u, xo)]
+    gx = (a - b * d / e_safe) * xo + (b / e_safe) * u + (cc - b * f / e_safe)
+    gx = jnp.broadcast_to(gx, (h, w))
+    x0 = jnp.floor(gx)
+    shifted = jnp.concatenate([img[:, 1:], jnp.zeros((h, 1, c), img.dtype)],
+                              axis=1)
+    pair_x = jnp.concatenate([img, shifted], axis=-1)
+    tmp = _lerp_axis(pair_x, x0.astype(jnp.int32), gx - x0, axis=1, limit=w)
+
+    # pass 2 (vertical): out[yo, xo] = tmp[sy(yo, xo), xo]
+    sy = d * xo + e * yo + f
+    sy = jnp.broadcast_to(sy, (h, w))
+    y0 = jnp.floor(sy)
+    shifted_y = jnp.concatenate([tmp[1:], jnp.zeros((1, w, c), tmp.dtype)],
+                                axis=0)
+    pair_y = jnp.concatenate([tmp, shifted_y], axis=-1)
+    return _lerp_axis(pair_y, y0.astype(jnp.int32), sy - y0, axis=0, limit=h)
+
+
 class _FgInfo(NamedTuple):
     boxes: jnp.ndarray       # (MAX_FG, 4)
     valid: jnp.ndarray       # (MAX_FG,)
@@ -304,21 +362,47 @@ def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
 
 
 def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
-    """bboxes_only_*: ONE warp pass with per-pixel matrices gathered by the
-    precomputed strongest-box assignment; blend by coverage."""
-    inv_map = inv_boxes[fg.best_id]                              # (H, W, 6)
-    warped = _warp_by_pixel_matrices(img, inv_map)
+    """bboxes_only_*: ONE per-pixel-separable 2-pass warp. The per-box
+    inverse matrices are gathered per pixel by the precomputed
+    strongest-box assignment and fed into the two axis-aligned resampling
+    passes — no 2D-indirect gather (which also poisons lax.switch
+    compile times), no per-box loop (measured 13x slower).
+
+    Divergence note: pass 1 rows are resampled with the matrix of the row
+    being read rather than the consuming output pixel; the two differ only
+    across box-mask boundaries where the blend weight is already small.
+    """
+    h, w = img.shape[0], img.shape[1]
+    c = img.shape[-1]
+    m = inv_boxes[fg.best_id]                                 # (H, W, 6)
+    xo = jnp.arange(w, dtype=jnp.float32)[None, :]
+    u = jnp.arange(h, dtype=jnp.float32)[:, None]
+    e = jnp.where(jnp.abs(m[..., 4]) < 1e-3, 1e-3, m[..., 4])
+    gx = ((m[..., 0] - m[..., 1] * m[..., 3] / e) * xo
+          + (m[..., 1] / e) * u
+          + (m[..., 2] - m[..., 1] * m[..., 5] / e))
+    x0 = jnp.floor(gx)
+    shifted = jnp.concatenate([img[:, 1:], jnp.zeros((h, 1, c), img.dtype)],
+                              axis=1)
+    pair_x = jnp.concatenate([img, shifted], axis=-1)
+    tmp = _lerp_axis(pair_x, x0.astype(jnp.int32), gx - x0, axis=1, limit=w)
+
+    sy = m[..., 3] * xo + m[..., 4] * u + m[..., 5]
+    y0 = jnp.floor(sy)
+    shifted_y = jnp.concatenate([tmp[1:], jnp.zeros((1, w, c), tmp.dtype)],
+                                axis=0)
+    pair_y = jnp.concatenate([tmp, shifted_y], axis=-1)
+    warped = _lerp_axis(pair_y, y0.astype(jnp.int32), sy - y0, axis=0,
+                        limit=h)
     out = img * (1.0 - fg.cover[..., None]) + warped * fg.cover[..., None]
     return jnp.clip(jnp.round(out), 0, 255)
 
 
 def _apply_geo_bg_only(img, fg: _FgInfo, inv_bg):
-    """bg_only_*: one global warp of (img, fg-union mask); warped-or-not fg
-    regions keep original content (reference bbox_augmentation.py:240-272)."""
-    h, w = img.shape[0], img.shape[1]
-    inv_map = jnp.broadcast_to(inv_bg.reshape(6), (h, w, 6))
+    """bg_only_*: one global 2-pass warp of (img, fg-union mask); fg regions
+    keep original content (reference bbox_augmentation.py:240-272)."""
     both = jnp.concatenate([img, fg.union[..., None] * 255.0], axis=-1)
-    warped = _warp_by_pixel_matrices(both, inv_map)
+    warped = _warp_affine_2pass(both, inv_bg.reshape(2, 3))
     warped_img = warped[..., :3]
     warped_mask = warped[..., 3] / 255.0
     maintained = jnp.maximum(fg.union, warped_mask)[..., None]
