@@ -545,10 +545,11 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
                                op_draw[wi, d, MAX_ML], fg, img_shape,
                                severity, version)
             new = img_tmp + (1.0 - union_mask[..., None]) * out_bg
-            new = jnp.clip(jnp.round(new), 0, 255)
-            return jnp.where(d < depth, new, img_aug)
+            return jnp.clip(jnp.round(new), 0, 255)
 
-        return jax.lax.fori_loop(0, max_depth, depth_step, img)
+        # traced upper bound: only `depth` iterations actually execute
+        # (E[depth]=2 of max 3 — a masked static loop would waste ~1/3)
+        return jax.lax.fori_loop(0, depth, depth_step, img)
 
     chain_keys = jax.random.split(keys[5], width)
     img_oamix = jnp.zeros_like(img)
