@@ -88,8 +88,15 @@ def train_detector(detector, dataset, cfg, distributed: bool = False,
 
     mesh = None
     if distributed or len(jax.devices()) > 1:
-        mesh = make_mesh()
-        logger.info(f"data-parallel mesh over {mesh.devices.size} devices")
+        import math
+        bs = int(data_cfg.get("samples_per_gpu", 2))
+        n_data = math.gcd(bs, len(jax.devices()))
+        if n_data > 1:
+            mesh = make_mesh(n_data=n_data)
+            logger.info(f"data-parallel mesh over {mesh.devices.size} devices")
+        else:
+            logger.info(f"batch size {bs} not divisible across "
+                        f"{len(jax.devices())} devices; running single-device")
 
     val_dataset = val_loader = None
     if validate:
