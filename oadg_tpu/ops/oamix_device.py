@@ -50,6 +50,8 @@ from typing import Any, Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from .pallas_warp import (warp_rotate, warp_shear_x, warp_shear_y,
+                          warp_translate_x, warp_translate_y)
 from .photometric import (autocontrast, enhance_brightness, enhance_color,
                           enhance_contrast, enhance_sharpness, equalize,
                           invert, posterize, solarize)
@@ -446,28 +448,65 @@ def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     def _f(k):
         return lvl_from(k) * 1.8 / 10.0 + 0.1
 
-    # one branch per geo KIND (bbox/bg), with the rotate/shear/translate
-    # family selected by traced index inside — the warp code (the big graph)
-    # appears once per branch instead of three times, which matters for
-    # compile time across the ~27 switch sites per view.
+    # bbox geo: one branch with the rotate/shear/translate family selected
+    # by traced index (the per-pixel separable warp code appears once).
     family_idx = jnp.clip((op_idx - n_photo) % 3, 0, 2)
 
-    def _mats_any_family(k, boxes, valid, is_bg: bool):
-        ms = jnp.stack([
-            _op_matrices(k, f, boxes, valid, img_shape, severity, is_bg=is_bg)
-            for f in range(3)])                      # (3, G, 2, 3), cheap
-        return ms[family_idx]
-
     def br_geo_bbox(k):
-        mats = _mats_any_family(k, fg.boxes, fg.valid, False)
+        ms = jnp.stack([
+            _op_matrices(k, f, fg.boxes, fg.valid, img_shape, severity,
+                         is_bg=False)
+            for f in range(3)])                      # (3, G, 2, 3), cheap
+        mats = ms[family_idx]
         inv = jax.vmap(_invert_2x3)(mats)
         return _apply_geo_bboxes_only(img, fg, inv.reshape(-1, 6))
 
-    def br_geo_bg(k):
-        mats = _mats_any_family(k, jnp.zeros((1, 4)), jnp.ones((1,), bool),
-                                True)
-        inv = jax.vmap(_invert_2x3)(mats)
-        return _apply_geo_bg_only(img, fg, inv[0])
+    # bg geo: family-specific Pallas shear-DMA warps (ops/pallas_warp.py) —
+    # a per-row DMA pass costs ~3.6ms vs ~15ms per XLA gather pass.
+    h_s, w_s = img.shape[0], img.shape[1]
+
+    def _bg_blend(warp_fn, k):
+        both = jnp.concatenate([img, fg.union[..., None] * 255.0], axis=-1)
+        warped = warp_fn(both, k)
+        maintained = jnp.maximum(fg.union, warped[..., 3] / 255.0)[..., None]
+        out = maintained * img + (1.0 - maintained) * warped[..., :3]
+        return jnp.clip(jnp.round(out), 0, 255)
+
+    def _lvl_sign(k):
+        u = jax.random.uniform(k, (3,))
+        lvl = 0.1 + u[0] * (severity - 0.1)
+        sign = jnp.where(u[1] > 0.5, -1.0, 1.0)
+        return lvl, sign, u[2]
+
+    def br_bg_rotate(k):
+        def w(im4, kk):
+            lvl, sign, _ = _lvl_sign(kk)
+            deg = jnp.floor(lvl * 30.0 / 10.0) * sign
+            msx = int(0.27 * h_s / 2) + 4
+            msy = int(0.50 * w_s / 2) + 4
+            return warp_rotate(im4, jnp.deg2rad(deg), w_s / 2.0, h_s / 2.0,
+                               msx, msy)
+        return _bg_blend(w, k)
+
+    def br_bg_shear(k):
+        def w(im4, kk):
+            lvl, sign, coin = _lvl_sign(kk)
+            s = lvl * 0.3 / 10.0 * sign
+            # bg shear has no center offset (augmix.py: center=None -> t=0)
+            sx = warp_shear_x(im4, s, 0.0, 0.0, int(0.3 * h_s) + 4)
+            sy = warp_shear_y(im4, s, 0.0, 0.0, int(0.3 * w_s) + 4)
+            return jnp.where(coin < 0.5, sx, sy)
+        return _bg_blend(w, k)
+
+    def br_bg_translate(k):
+        def w(im4, kk):
+            lvl, sign, coin = _lvl_sign(kk)
+            tx = jnp.floor(lvl * (w_s / 3.0) / 10.0) * sign
+            ty = jnp.floor(lvl * (h_s / 3.0) / 10.0) * sign
+            ox = warp_translate_x(im4, tx, w_s // 3 + 4)
+            oy = warp_translate_y(im4, ty, h_s // 3 + 4)
+            return jnp.where(coin < 0.5, ox, oy)
+        return _bg_blend(w, k)
 
     branches = [br_auto, br_eq, br_post, br_sol]
     if all_ops:
@@ -476,10 +515,13 @@ def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
                      lambda k: enhance_contrast(img, _f(k)),
                      lambda k: enhance_brightness(img, _f(k)),
                      lambda k: enhance_sharpness(img, _f(k))]
-    branches += [br_geo_bbox, br_geo_bg]
-    # op order (get_aug_list): photo..., 3x bboxes_only, 3x bg_only
-    branch_idx = jnp.where(op_idx < n_photo, op_idx,
-                           n_photo + (op_idx - n_photo) // 3)
+    branches += [br_geo_bbox, br_bg_rotate, br_bg_shear, br_bg_translate]
+    # op order (get_aug_list): photo..., 3x bboxes_only -> one branch,
+    # then bg rotate/shear/translate individually.
+    branch_idx = jnp.where(
+        op_idx < n_photo, op_idx,
+        jnp.where(op_idx < n_photo + 3, n_photo,
+                  n_photo + 1 + (op_idx - n_photo - 3)))
     return jax.lax.switch(jnp.clip(branch_idx, 0, len(branches) - 1),
                           branches, key)
 

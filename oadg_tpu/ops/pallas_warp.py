@@ -1,0 +1,171 @@
+"""Pallas TPU kernels for OA-Mix geometric warps.
+
+XLA gathers on TPU cost ~8ns per gathered row regardless of contiguity
+(~15-17 ms for one 2M-pixel resampling pass), which made the OA-Mix aug
+chain gather-bound. The affine ops OA-Mix uses (rotate <= 30deg,
+shear <= 0.3, translate) decompose into per-row horizontal shifts
+(shear_x/translate_x exactly; shear_y/translate_y via transpose; rotation
+via the Paeth 3-shear factorization
+R(t) = Shx(-tan(t/2)) . Shy(sin t) . Shx(-tan(t/2))), and a per-row shift
+is a contiguous DMA, not a gather.
+
+``shear_rows`` is that kernel (measured 3.6 ms vs ~31 ms for the XLA
+2-gather pass at 1024x2048x4): the (W, C) plane is flattened so each row's
+shifted window is one contiguous slice; DMA starts are 128-aligned with the
+sub-tile residual handled by an in-VMEM dynamic roll; per-row DMAs are
+issued in a wave then awaited (double buffering across the row-block grid).
+
+CPU/tests use the pure-XLA fallback (``interpret=True`` routes there).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS_PER_PROGRAM = 8
+
+
+def _shear_kernel(start_ref, resid_ref, frac_ref, img_ref, out_ref, scratch,
+                  sems, *, c: int, n_rows: int):
+    rows = out_ref.shape[0]
+    wc = out_ref.shape[2]
+    s_len = scratch.shape[2]
+    r0 = pl.program_id(0) * rows
+
+    for i in range(rows):
+        @pl.when(r0 + i < n_rows)
+        def _(i=i):
+            st = pl.multiple_of(start_ref[r0 + i], 128)
+            pltpu.make_async_copy(img_ref.at[r0 + i, :, pl.ds(st, s_len)],
+                                  scratch.at[i], sems.at[i]).start()
+    for i in range(rows):
+        @pl.when(r0 + i < n_rows)
+        def _(i=i):
+            st = pl.multiple_of(start_ref[r0 + i], 128)
+            pltpu.make_async_copy(img_ref.at[r0 + i, :, pl.ds(st, s_len)],
+                                  scratch.at[i], sems.at[i]).wait()
+    for i in range(rows):
+        f = frac_ref[r0 + i]
+        r = resid_ref[r0 + i]
+        si = scratch[i]                                     # (1, S)
+        a = pltpu.roll(si, shift=s_len - r, axis=1)
+        b = pltpu.roll(si, shift=s_len - r - c, axis=1)
+        out_ref[i, :, :] = a[:, :wc] * (1.0 - f) + b[:, :wc] * f
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def shear_rows(img: jnp.ndarray, shifts: jnp.ndarray, fracs: jnp.ndarray,
+               max_shift: int, interpret: bool = False) -> jnp.ndarray:
+    """Per-row horizontal shift with linear interpolation, zero border.
+
+    out[y, x] = (1-f[y]) * img[y, x + s[y]] + f[y] * img[y, x + s[y] + 1]
+    with reads outside [0, W) giving 0. ``shifts`` int32 (H,) in
+    [-max_shift, max_shift]; ``fracs`` f32 (H,) in [0, 1).
+    """
+    if interpret or jax.devices()[0].platform == "cpu":
+        return shear_rows_xla(img, shifts, fracs, max_shift)
+    h, w, c = img.shape
+    pad = max_shift + 160          # window slack: alignment + roll margin
+    img_p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0))).reshape(h, 1, -1)
+    wc = w * c
+    s_len = ((wc + c + 127) // 128 + 2) * 128
+    flat_start = jnp.clip((shifts + pad) * c, 0,
+                          img_p.shape[2] - s_len).astype(jnp.int32)
+    start = (flat_start // 128) * 128
+    resid = flat_start - start
+
+    kernel = functools.partial(_shear_kernel, c=c, n_rows=h)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(pl.cdiv(h, ROWS_PER_PROGRAM),),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((ROWS_PER_PROGRAM, 1, wc),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ROWS_PER_PROGRAM, 1, s_len), img.dtype),
+                pltpu.SemaphoreType.DMA((ROWS_PER_PROGRAM,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, 1, wc), img.dtype),
+    )(start, resid, fracs.astype(jnp.float32), img_p)
+    return out.reshape(h, w, c)
+
+
+def shear_rows_xla(img, shifts, fracs, max_shift: int):
+    """Pure-XLA reference/fallback (take_along_axis, gather-bound)."""
+    h, w, c = img.shape
+    pad = max_shift + 1
+    img_p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)))
+    base = jnp.clip(shifts + pad, 0, img_p.shape[1] - (w + 1))
+    idx = base[:, None] + jnp.arange(w)[None, :]
+    a = jnp.take_along_axis(img_p, idx[..., None], axis=1)
+    b = jnp.take_along_axis(img_p, (idx + 1)[..., None], axis=1)
+    f = fracs[:, None, None]
+    return a * (1.0 - f) + b * f
+
+
+# ------------------------------------------------------------------ ops ----
+
+def _row_shift_params(k1, k2, n_rows: int, max_shift: int):
+    """Continuous per-row offset o(y) = k1*y + k2, split into int + frac."""
+    y = jnp.arange(n_rows, dtype=jnp.float32)
+    off = jnp.clip(k1 * y + k2, -max_shift, max_shift)
+    s = jnp.floor(off)
+    return s.astype(jnp.int32), off - s
+
+
+def warp_shear_x(img, s, cx, cy, max_shift: int, interpret: bool = False):
+    """cv2-form shear_x (augmix.py:115): inverse sx = x + s*(y - cy)."""
+    shifts, fracs = _row_shift_params(s, -s * cy, img.shape[0], max_shift)
+    return shear_rows(img, shifts, fracs, max_shift, interpret=interpret)
+
+
+def warp_shear_y(img, s, cx, cy, max_shift: int, interpret: bool = False):
+    t = jnp.transpose(img, (1, 0, 2))
+    shifts, fracs = _row_shift_params(s, -s * cx, t.shape[0], max_shift)
+    t = shear_rows(t, shifts, fracs, max_shift, interpret=interpret)
+    return jnp.transpose(t, (1, 0, 2))
+
+
+def warp_translate_x(img, tx, max_shift: int, interpret: bool = False):
+    shifts, fracs = _row_shift_params(0.0, tx, img.shape[0], max_shift)
+    return shear_rows(img, shifts, fracs, max_shift, interpret=interpret)
+
+
+def warp_translate_y(img, ty, max_shift: int, interpret: bool = False):
+    t = jnp.transpose(img, (1, 0, 2))
+    shifts, fracs = _row_shift_params(0.0, ty, t.shape[0], max_shift)
+    t = shear_rows(t, shifts, fracs, max_shift, interpret=interpret)
+    return jnp.transpose(t, (1, 0, 2))
+
+
+def warp_translate(img, tx, ty, max_shift: int, interpret: bool = False):
+    out = warp_translate_x(img, tx, max_shift, interpret=interpret)
+    return warp_translate_y(out, ty, max_shift, interpret=interpret)
+
+
+def warp_rotate(img, rad, cx, cy, max_shift_x: int, max_shift_y: int,
+                interpret: bool = False):
+    """3-shear rotation about (cx, cy) (Paeth): three 1D resampling passes.
+    For |rad| <= 30deg the shears are tan(rad/2) <= 0.27, sin(rad) <= 0.5."""
+    a = -jnp.tan(rad / 2.0)
+    b = jnp.sin(rad)
+    h, w = img.shape[0], img.shape[1]
+    s1, f1 = _row_shift_params(a, -a * cy, h, max_shift_x)
+    out = shear_rows(img, s1, f1, max_shift_x, interpret=interpret)
+    t = jnp.transpose(out, (1, 0, 2))
+    s2, f2 = _row_shift_params(b, -b * cx, w, max_shift_y)
+    t = shear_rows(t, s2, f2, max_shift_y, interpret=interpret)
+    out = jnp.transpose(t, (1, 0, 2))
+    s3, f3 = _row_shift_params(a, -a * cy, h, max_shift_x)
+    return shear_rows(out, s3, f3, max_shift_x, interpret=interpret)
