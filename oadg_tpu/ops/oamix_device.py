@@ -230,7 +230,9 @@ def _invert_2x3(m):
 
 
 def _warp_by_pixel_matrices(img, inv_map):
-    """Bilinear gather with per-pixel inverse affine params.
+    """Bilinear gather with per-pixel inverse affine params (utility; the
+    production paths use the separable/Pallas warps — kept for exact direct
+    bilinear resampling needs and tests).
 
     img (H, W, C); inv_map (H, W, 6) rows [ia, ib, itx, ic, id, ity].
     Out-of-range samples read 0 (cv2 BORDER_CONSTANT).
@@ -400,16 +402,6 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
     return jnp.clip(jnp.round(out), 0, 255)
 
 
-def _apply_geo_bg_only(img, fg: _FgInfo, inv_bg):
-    """bg_only_*: one global 2-pass warp of (img, fg-union mask); fg regions
-    keep original content (reference bbox_augmentation.py:240-272)."""
-    both = jnp.concatenate([img, fg.union[..., None] * 255.0], axis=-1)
-    warped = _warp_affine_2pass(both, inv_bg.reshape(2, 3))
-    warped_img = warped[..., :3]
-    warped_mask = warped[..., 3] / 255.0
-    maintained = jnp.maximum(fg.union, warped_mask)[..., None]
-    out = maintained * img + (1.0 - maintained) * warped_img
-    return jnp.clip(jnp.round(out), 0, 255)
 
 
 def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
