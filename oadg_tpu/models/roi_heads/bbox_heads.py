@@ -35,13 +35,20 @@ def _coder_from_cfg(cfg) -> DeltaXYWHBBoxCoder:
 
 @HEADS.register_module()
 class Shared2FCBBoxHead(nn.Module):
+    """ConvFC box head (reference convfc_bbox_head.py:11): optional shared
+    conv stack + shared FC stack -> cls / reg (/ cont) branches. The
+    Shared2FC default is 0 convs + 2 FCs; Shared4Conv1FC uses 4 convs + 1 FC.
+    """
     in_channels: int = 256
     fc_out_channels: int = 1024
+    conv_out_channels: int = 256
     roi_feat_size: int = 7
     num_classes: int = 80
+    num_shared_convs: int = 0
     num_shared_fcs: int = 2
     bbox_coder: Any = None
     reg_class_agnostic: bool = False
+    norm_cfg: Any = None
     loss_cls: Any = None
     loss_bbox: Any = None
     with_cont: bool = False
@@ -50,11 +57,17 @@ class Shared2FCBBoxHead(nn.Module):
     dtype: Any = None
 
     def setup(self):
+        from ..layers import ConvModule
         self.coder = _coder_from_cfg(self.bbox_coder)
         self.cls_loss = build_from_cfg(dict(self.loss_cls or dict(
             type="CrossEntropyLoss", loss_weight=1.0)), LOSSES)
         self.reg_loss = build_from_cfg(dict(self.loss_bbox or dict(
             type="SmoothL1Loss", beta=1.0, loss_weight=1.0)), LOSSES)
+        self.shared_convs = [
+            ConvModule(self.conv_out_channels, 3, 1, 1,
+                       norm_cfg=self.norm_cfg, dtype=self.dtype,
+                       name=f"shared_conv{i}")
+            for i in range(self.num_shared_convs)]
         self.shared_fcs = [nn.Dense(self.fc_out_channels, dtype=self.dtype,
                                     name=f"shared_fc{i}")
                            for i in range(self.num_shared_fcs)]
@@ -70,7 +83,10 @@ class Shared2FCBBoxHead(nn.Module):
 
     def __call__(self, roi_feats: jnp.ndarray):
         """roi_feats (R, 7, 7, C) -> (cls (R, C+1), reg (R, 4C), cont | None)."""
-        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = roi_feats
+        for conv in self.shared_convs:
+            x = conv(x)
+        x = x.reshape(x.shape[0], -1)
         for fc in self.shared_fcs:
             x = nn.relu(fc(x))
         cls_score = self.fc_cls(x)
@@ -171,6 +187,21 @@ class Shared2FCContrastiveHead(Shared2FCBBoxHead):
 
 @HEADS.register_module()
 class Shared4Conv1FCBBoxHead(Shared2FCBBoxHead):
-    """Registered for config compatibility; conv stack folded into FCs is NOT
-    equivalent — kept minimal until a config needs it (P2)."""
+    """4 shared 3x3 convs + 1 shared FC (reference convfc_bbox_head.py)."""
+    num_shared_convs: int = 4
     num_shared_fcs: int = 1
+
+
+@HEADS.register_module()
+class ConvFCBBoxHead(Shared2FCBBoxHead):
+    """General ConvFC head; branch-specific conv/fc stacks beyond the shared
+    stack collapse to the shared configuration (reference
+    convfc_bbox_head.py:11)."""
+    pass
+
+
+@HEADS.register_module()
+class BBoxHead(Shared2FCBBoxHead):
+    """Plain BBoxHead (no shared FCs; avg-pooled features straight to the
+    linear cls/reg, reference bbox_head.py)."""
+    num_shared_fcs: int = 0
