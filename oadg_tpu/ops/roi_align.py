@@ -161,6 +161,12 @@ def roi_align_multilevel(feats, rois, output_size: int = 7,
     ws = np.array([f.shape[2] for f in feats])
     level_off = np.concatenate([[0], np.cumsum(b * hs * ws)[:-1]])
     table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    # channel-paired table: row i holds (feat[i], feat[i+1]); one gather per
+    # y-tap then fetches both x-taps (TPU gathers cost per ROW — this halves
+    # them). The +1 neighbor crossing a row boundary is harmless: it is only
+    # read when fx > 0, which implies x0+1 is in-row.
+    table_pair = jnp.concatenate(
+        [table, jnp.concatenate([table[1:], table[:1]], axis=0)], axis=1)
     scales = np.array([1.0 / s for s in featmap_strides], np.float32)
 
     lvl = map_roi_levels(rois, num_levels, finest_scale)         # (R,)
@@ -207,20 +213,18 @@ def roi_align_multilevel(feats, rois, output_size: int = 7,
         y0i = jnp.floor(py).astype(jnp.int32)
         fx = px - x0i
         fy = py - y0i
-        x1i = jnp.minimum(x0i + 1, fwi[:, None] - 1)
         y1i = jnp.minimum(y0i + 1, fhi[:, None] - 1)
 
-        def gather(yi, xi):
+        def gather_pair(yi):
             lin = (off[:, None, None]
                    + ((bidx[:, None, None] * fhi[:, None, None] + yi[:, :, None])
-                      * fwi[:, None, None] + xi[:, None, :]))
-            vals = jnp.take(table, lin.reshape(-1), axis=0)
-            return vals.reshape(xi.shape[0], yi.shape[1], xi.shape[1], c)
+                      * fwi[:, None, None] + x0i[:, None, :]))
+            vals = jnp.take(table_pair, lin.reshape(-1), axis=0)
+            vals = vals.reshape(yi.shape[0], yi.shape[1], x0i.shape[1], 2 * c)
+            return vals[..., :c], vals[..., c:]
 
-        v00 = gather(y0i, x0i)
-        v01 = gather(y0i, x1i)
-        v10 = gather(y1i, x0i)
-        v11 = gather(y1i, x1i)
+        v00, v01 = gather_pair(y0i)
+        v10, v11 = gather_pair(y1i)
         wx = fx[:, None, :, None]
         wy = fy[:, :, None, None]
         val = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)

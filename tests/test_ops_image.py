@@ -193,3 +193,33 @@ def test_roi_align_grads_finite():
 
     g = jax.grad(loss)(feat)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_roi_align_multilevel_matches_single_level():
+    from oadg_tpu.ops.roi_align import roi_align_multilevel
+    rng = np.random.RandomState(1)
+    feats = [jnp.asarray(rng.rand(2, 32 >> i, 48 >> i, 8).astype(np.float32))
+             for i in range(4)]
+    strides = (4, 8, 16, 32)
+    # rois sized to map to each level (finest_scale=56)
+    rois = np.array([
+        [0, 10, 10, 40, 40],        # small -> level 0
+        [1, 0, 0, 120, 100],        # -> level 1
+        [0, 0, 0, 60, 300],         # -> level 2-ish
+        [1, 0, 0, 190, 120],        # larger
+    ], np.float32)
+    out = np.asarray(roi_align_multilevel(feats, jnp.asarray(rois),
+                                          output_size=7,
+                                          featmap_strides=strides,
+                                          sampling_ratio=2, chunk=3))
+    # reference: explicit level mapping + single-level roi_align
+    from oadg_tpu.ops.roi_align import map_roi_levels, roi_align
+    lvls = np.asarray(map_roi_levels(jnp.asarray(rois), 4, 56))
+    for i, roi in enumerate(rois):
+        l = int(lvls[i])
+        ref = np.asarray(roi_align(feats[l], jnp.asarray(roi[None]),
+                                   output_size=7,
+                                   spatial_scale=1.0 / strides[l],
+                                   sampling_ratio=2, chunk=4))[0]
+        np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"roi {i} level {l}")
