@@ -78,7 +78,10 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype)(x)
+        ng = min(self.num_groups, x.shape[-1])
+        while x.shape[-1] % ng:
+            ng -= 1
+        return nn.GroupNorm(num_groups=ng, dtype=self.dtype)(x)
 
 
 def build_norm(norm_cfg: Optional[dict], dtype=None) -> Callable:
