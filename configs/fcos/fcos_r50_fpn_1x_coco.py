@@ -1,0 +1,31 @@
+# FCOS R50-FPN (reference configs/fcos; anchor-free single-stage family).
+_base_ = [
+    '/ws/external/configs/_base_/datasets/cityscapes_detection.py',
+    '/ws/external/configs/_base_/default_runtime.py',
+]
+model = dict(
+    type='FCOS',
+    backbone=dict(
+        type='ResNet', depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+        frozen_stages=1, norm_cfg=dict(type='BN', requires_grad=False),
+        norm_eval=True, style='caffe'),
+    neck=dict(type='FPN', in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=1,
+              add_extra_convs='on_output', num_outs=5,
+              relu_before_extra_convs=True),
+    bbox_head=dict(
+        type='FCOSHead', num_classes=80, in_channels=256,
+        stacked_convs=4, feat_channels=256, strides=[8, 16, 32, 64, 128],
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type='IoULoss', loss_weight=1.0),
+        loss_centerness=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                             loss_weight=1.0)),
+    train_cfg=dict(),
+    test_cfg=dict(nms_pre=1000, min_bbox_size=0, score_thr=0.05,
+                  nms=dict(type='nms', iou_threshold=0.5), max_per_img=100))
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0001)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(policy='step', warmup='constant', warmup_iters=500,
+                 warmup_ratio=1.0 / 3, step=[8, 11])
+runner = dict(type='EpochBasedRunner', max_epochs=12)
