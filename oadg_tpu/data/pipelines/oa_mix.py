@@ -30,7 +30,8 @@ class OAMix:
                  random_box_scale=(0.01, 0.1), random_box_ratio=(3, 1 / 3),
                  oa_random_box_scale=(0.005, 0.1),
                  oa_random_box_ratio=(3, 1 / 3), num_bboxes=(3, 5),
-                 spatial_ratio: int = 4, sigma_ratio: float = 0.3, **kwargs):
+                 spatial_ratio: int = 4, sigma_ratio: float = 0.3,
+                 on_device: bool = True, **kwargs):
         self.cfg = dict(
             version=version, num_views=num_views, keep_orig=keep_orig,
             severity=severity, mixture_width=mixture_width,
@@ -40,8 +41,38 @@ class OAMix:
             oa_random_box_ratio=oa_random_box_ratio, num_bboxes=num_bboxes,
             spatial_ratio=spatial_ratio, sigma_ratio=sigma_ratio)
         self.num_views = num_views
+        self.keep_orig = keep_orig
+        self.on_device = on_device
+
+    def _call_host(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        """CPU oracle path (reference OAMix.__call__, oa_mix.py:187): runs
+        the full per-sample algorithm on host and materializes img2.. ."""
+        from .oa_mix_host import oamix_host
+        results["custom_field"] = []
+        history: Dict[str, Any] = {}
+        for i in range(1, self.num_views + 1):
+            if i == 1:
+                history = {}
+                if not self.keep_orig:
+                    results["img"] = oamix_host(results["img"].copy(),
+                                                results["gt_bboxes"].copy(),
+                                                self.cfg, history)
+                results["img_fields"] = ["img"]
+            else:
+                results[f"img{i}"] = oamix_host(results["img"].copy(),
+                                                results["gt_bboxes"].copy(),
+                                                self.cfg, history)
+                results["img_fields"] += [f"img{i}"]
+                results[f"gt_bboxes{i}"] = results["gt_bboxes"].copy()
+                results["oamix_boxes"] = history["oa_random_box_list"]
+                results["multilevel_boxes"] = history["random_box_list"]
+                results["custom_field"] += [f"img{i}", f"gt_bboxes{i}",
+                                            "oamix_boxes", "multilevel_boxes"]
+        return results
 
     def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        if not self.on_device:
+            return self._call_host(results)
         # Mark for on-device augmentation; keep the reference's field
         # contract (img2.. / gt_bboxes2.. / custom_field) so Collect works.
         # A pristine pre-Normalize copy rides along — the device kernels

@@ -1,0 +1,301 @@
+"""Host (numpy/cv2/PIL) OA-Mix oracle — a faithful CPU implementation of the
+reference algorithm (mmdet/datasets/pipelines/oa_mix.py), written against
+this repo's own primitives.
+
+Primary use: the fidelity oracle for the on-device implementation
+(ops/oamix_device.py) and a fallback for pipelines that want `img2` etc.
+materialized on the host exactly like the reference produced them (the
+device path defers augmentation into the train step instead).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:                                  # pragma: no cover
+    cv2 = None
+
+from PIL import Image, ImageEnhance, ImageOps
+
+
+# ------------------------------------------------------------- helpers -----
+
+def _sample_level(n):
+    return np.random.uniform(low=0.1, high=n)
+
+
+def _blurred_mask(box, shape, spatial_ratio=4, sigma_ratio=0.3):
+    """Quarter-res blurred box mask (reference oa_mix.py:74-93)."""
+    h, w = shape[:2]
+    x1, y1, x2, y2 = (np.asarray(box) // spatial_ratio).astype(np.int32)
+    m = np.zeros((h // spatial_ratio, w // spatial_ratio, 3), np.float32)
+    m[y1:y2, x1:x2, :] = 1.0
+    sx = (x2 - x1) * sigma_ratio / 3 * 2
+    sy = (y2 - y1) * sigma_ratio / 3 * 2
+    if sx > 0 and sy > 0:
+        m = cv2.GaussianBlur(m, (0, 0), sigmaX=sx, sigmaY=sy)
+    return cv2.resize(m, (w, h))
+
+
+def _spectral_saliency_score(crop) -> float:
+    """Spectral-residual mean score (OpenCV-contrib algorithm on 64x64)."""
+    g = cv2.cvtColor(np.asarray(crop, np.uint8), cv2.COLOR_BGR2GRAY)
+    g = cv2.resize(g, (64, 64)).astype(np.float64)
+    f = np.fft.fft2(g)
+    mag, phase = np.abs(f), np.angle(f)
+    log_amp = np.log(np.maximum(mag, 1e-12))
+    blur = cv2.blur(log_amp, (3, 3))
+    sal = np.abs(np.fft.ifft2(np.exp(log_amp - blur) * np.exp(1j * phase))) ** 2
+    k = cv2.getGaussianKernel(5, 8.0)
+    sal = cv2.sepFilter2D(sal, -1, k, k)
+    lo, hi = sal.min(), sal.max()
+    sal = (sal - lo) / max(hi - lo, 1e-12)
+    return float(np.mean((sal * 255).astype(np.uint8)))
+
+
+def _iou_any(box, boxes) -> float:
+    if len(boxes) == 0:
+        return 0.0
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    return float(inter.sum())
+
+
+def _random_regions(shape, scale, ratio, num_bboxes, existing=None,
+                    max_iters=50):
+    h, w = shape[:2]
+    target = (np.random.randint(*num_bboxes) if isinstance(num_bboxes, tuple)
+              else num_bboxes)
+    boxes: List[np.ndarray] = []
+    for _ in range(max_iters):
+        if len(boxes) >= target:
+            break
+        x1, y1 = np.random.randint(0, w), np.random.randint(0, h)
+        s = np.random.uniform(*scale) * h * w
+        r = np.random.uniform(*ratio)
+        bw, bh = int(np.sqrt(s / r)), int(np.sqrt(s * r))
+        if x1 + bw > w or y1 + bh > h:
+            continue
+        box = np.array([x1, y1, min(x1 + bw, w), min(y1 + bh, h)], np.float32)
+        if _iou_any(box, boxes) > 1e-6:
+            continue
+        boxes.append(box)
+    return boxes
+
+
+# ----------------------------------------------------------------- ops -----
+
+def _pil(img):
+    return Image.fromarray(np.asarray(img, np.uint8), "RGB")
+
+
+def _photo(img, name, severity):
+    p = _pil(img)
+    if name == "autocontrast":
+        return np.asarray(ImageOps.autocontrast(p))
+    if name == "equalize":
+        return np.asarray(ImageOps.equalize(p))
+    if name == "posterize":
+        bits = 4 - int(_sample_level(severity) * 4 / 10)
+        return np.asarray(ImageOps.posterize(p, max(bits, 1)))
+    if name == "solarize":
+        thr = 256 - int(_sample_level(severity) * 256 / 10)
+        return np.asarray(ImageOps.solarize(p, thr))
+    if name == "invert":
+        return np.asarray(ImageOps.invert(p))
+    enh = {"color": ImageEnhance.Color, "contrast": ImageEnhance.Contrast,
+           "brightness": ImageEnhance.Brightness,
+           "sharpness": ImageEnhance.Sharpness}[name]
+    f = float(_sample_level(severity)) * 1.8 / 10 + 0.1
+    return np.asarray(enh(p).enhance(f))
+
+
+def _geo_matrix(name, severity, center, size_for_level, img_size):
+    """Forward cv2 matrix for one geometric family draw."""
+    if name == "rotate":
+        deg = int(_sample_level(severity) * 30 / 10)
+        if np.random.uniform() > 0.5:
+            deg = -deg
+        return cv2.getRotationMatrix2D(center, deg, 1.0)
+    if name.startswith("shear"):
+        s = float(_sample_level(severity)) * 0.3 / 10
+        if np.random.uniform() > 0.5:
+            s = -s
+        if name == "shear_x":
+            tx = 0.0 if center is None else -s * center[1]
+            return np.float32([[1, -s, -tx], [0, 1, 0]])
+        ty = 0.0 if center is None else -s * center[0]
+        return np.float32([[1, 0, 0], [-s, 1, -ty]])
+    # translate
+    maxval = size_for_level[0] if name == "translate_x" else size_for_level[1]
+    t = int(_sample_level(severity) * (maxval / 3) / 10)
+    if np.random.random() > 0.5:
+        t = -t
+    if name == "translate_x":
+        return np.float32([[1, 0, -t], [0, 1, 0]])
+    return np.float32([[1, 0, 0], [0, 1, -t]])
+
+
+def _bboxes_only(img, name, severity, fg_boxes, fg_masks):
+    """Per-box warp blended by blurred masks (bbox_augmentation.py:31-88)."""
+    out = np.asarray(img, np.float32)
+    h, w = out.shape[:2]
+    fam = {"rotate": "rotate",
+           "shear_xy": "shear_x" if np.random.rand() < 0.5 else "shear_y",
+           "translate_xy": ("translate_x" if np.random.rand() < 0.5
+                            else "translate_y")}[name]
+    for box, mask in zip(fg_boxes, fg_masks):
+        x1, y1, x2, y2 = [int(v) for v in box]
+        if x2 - x1 < 1 or y2 - y1 < 1:
+            continue
+        center = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
+        m = _geo_matrix(fam, severity, center, (x2 - x1 + 1, y2 - y1 + 1),
+                        (w, h))
+        warped = cv2.warpAffine(out.astype(np.uint8), m, (w, h)).astype(np.float32)
+        out = out * (1.0 - mask) + warped * mask
+    return np.asarray(np.clip(out, 0, 255), np.uint8)
+
+
+def _bg_only(img, name, severity, fg_masks):
+    """Global warp with fg regions preserved (bbox_augmentation.py:240-272)."""
+    arr = np.asarray(img, np.uint8)
+    h, w = arr.shape[:2]
+    fam = {"rotate": "rotate",
+           "shear_xy": "shear_x" if np.random.rand() < 0.5 else "shear_y",
+           "translate_xy": ("translate_x" if np.random.rand() < 0.5
+                            else "translate_y")}[name]
+    center = (w / 2.0, h / 2.0) if fam == "rotate" else None
+    m = _geo_matrix(fam, severity, center, (w, h), (w, h))
+    mask = (np.max(fg_masks, axis=0) if len(fg_masks)
+            else np.zeros_like(arr, np.float32))
+    warped = cv2.warpAffine(arr, m, (w, h)).astype(np.float32)
+    wmask = cv2.warpAffine((mask * 255).astype(np.uint8), m, (w, h)) / 255.0
+    keep = np.maximum(mask, wmask)
+    out = keep * arr.astype(np.float32) + (1.0 - keep) * warped
+    return np.asarray(np.clip(out, 0, 255), np.uint8)
+
+
+_AUG_OPS = ["autocontrast", "equalize", "posterize", "solarize",
+            "bboxes:rotate", "bboxes:shear_xy", "bboxes:translate_xy",
+            "bg:rotate", "bg:shear_xy", "bg:translate_xy"]
+_AUG_OPS_ALL = (["autocontrast", "equalize", "posterize", "solarize",
+                 "invert", "color", "contrast", "brightness", "sharpness"]
+                + _AUG_OPS[4:])
+
+
+def _aug(img, severity, version, fg_boxes, fg_masks):
+    ops = _AUG_OPS_ALL if version == "augmix.all" else _AUG_OPS
+    op = ops[np.random.randint(len(ops))]
+    if op.startswith("bboxes:"):
+        return _bboxes_only(img, op.split(":")[1], severity, fg_boxes,
+                            fg_masks)
+    if op.startswith("bg:"):
+        return _bg_only(img, op.split(":")[1], severity, fg_masks)
+    return _photo(img, op, severity)
+
+
+# ---------------------------------------------------------------- oamix ----
+
+def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
+               history: Optional[Dict] = None) -> np.ndarray:
+    """One augmented view (reference OAMix.oamix, oa_mix.py:207-243)."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    severity = float(cfg.get("severity", 10))
+    width = int(cfg.get("mixture_width", 3))
+    depth_cfg = int(cfg.get("mixture_depth", -1))
+    version = cfg.get("version", "augmix")
+    spatial_ratio = int(cfg.get("spatial_ratio", 4))
+    sigma_ratio = float(cfg.get("sigma_ratio", 0.3))
+    score_thresh = float(cfg.get("score_thresh", 10))
+    history = history if history is not None else {}
+
+    ws = np.float32(np.random.dirichlet([1.0] * width))
+    rand_boxes = _random_regions(img.shape,
+                                 cfg.get("random_box_scale", (0.01, 0.1)),
+                                 cfg.get("random_box_ratio", (3, 1 / 3)),
+                                 num_bboxes=(1, 3))
+    rand_masks = [_blurred_mask(b, img.shape, spatial_ratio, sigma_ratio)
+                  for b in rand_boxes]
+    history["random_box_list"] = (np.stack(rand_boxes)
+                                  if rand_boxes else np.zeros((0, 4)))
+
+    if "fg_mask_list" in history:
+        fg_masks = history["fg_mask_list"]
+        fg_scores = history["fg_score_list"]
+    else:
+        fg_masks, fg_scores = [], []
+        for box in gt_bboxes:
+            x1, y1, x2, y2 = np.asarray(box, np.int32)
+            if x2 - x1 < spatial_ratio or y2 - y1 < spatial_ratio:
+                fg_scores.append(-1.0)
+            else:
+                fg_scores.append(_spectral_saliency_score(img[y1:y2, x1:x2]))
+            fg_masks.append(_blurred_mask(box, img.shape, spatial_ratio,
+                                          sigma_ratio))
+        history["fg_mask_list"] = fg_masks
+        history["fg_score_list"] = fg_scores
+
+    # chain-and-mix
+    img_oamix = np.zeros_like(img, np.float32)
+    for i in range(width):
+        depth = depth_cfg if depth_cfg > 0 else np.random.randint(1, 4)
+        img_aug = img.copy()
+        for _ in range(depth):
+            tmp = np.zeros_like(img, np.float32)
+            for mask in rand_masks:
+                tmp += mask * _aug(img_aug, severity, version,
+                                   gt_bboxes, fg_masks)
+            union = (np.max(rand_masks, axis=0) if rand_masks
+                     else np.zeros_like(img, np.float32))
+            img_aug = np.asarray(np.clip(
+                tmp + (1.0 - union) * _aug(img_aug, severity, version,
+                                           gt_bboxes, fg_masks), 0, 255),
+                np.uint8)
+        img_oamix += ws[i] * img_aug.astype(np.float32)
+
+    # object-aware mixing regions
+    oa_targets = [(b, m, s) for b, m, s in zip(gt_bboxes, fg_masks, fg_scores)
+                  if s <= score_thresh]
+    n_oa = min(max(len(oa_targets), 1), 5)
+    oa_boxes = _random_regions(img.shape,
+                               cfg.get("oa_random_box_scale", (0.005, 0.1)),
+                               cfg.get("oa_random_box_ratio", (3, 1 / 3)),
+                               num_bboxes=n_oa)
+    history["oa_random_box_list"] = (np.stack(oa_boxes)
+                                     if oa_boxes else np.zeros((0, 4)))
+    for b in oa_boxes:
+        score = float("inf")
+        for gb, gs in zip(gt_bboxes, fg_scores):
+            if _iou_any(b, [gb]) > 1e-6 and gs < score:
+                score = gs
+        oa_targets.append((b, _blurred_mask(b, img.shape, spatial_ratio,
+                                            sigma_ratio), score))
+
+    # sequential overlap-corrected accumulation (oa_mix.py:281-308)
+    m_global = np.float32(np.random.beta(1.0, 1.0))
+    orig = np.zeros_like(img, np.float32)
+    aug = np.zeros_like(img, np.float32)
+    mask_sum = np.zeros_like(img, np.float32)
+    mask_stack: List[np.ndarray] = []
+    for _, mask, score in oa_targets:
+        mask_sum = mask_sum + mask
+        mask_stack.append(mask)
+        mask_max = np.max(mask_stack, axis=0)
+        overlap = mask_sum - mask_max
+        m_oa = np.float32(np.random.uniform(0.0, 0.5) if score <= score_thresh
+                          else np.random.uniform(0.0, 1.0))
+        orig += (1.0 - m_oa) * img * (mask - overlap * 0.5)
+        aug += m_oa * img_oamix * (mask - overlap * 0.5)
+        mask_sum = mask_max
+    out = orig + aug
+    out += (1.0 - m_global) * img * (1.0 - mask_sum)
+    out += m_global * img_oamix * (1.0 - mask_sum)
+    return np.asarray(np.clip(out, 0, 255), np.uint8)

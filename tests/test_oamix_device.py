@@ -88,3 +88,51 @@ def test_oamix_batch_end_to_end():
         jnp.asarray(img), jnp.asarray(gt), jnp.asarray(gtv),
         jnp.asarray(shape), jax.random.PRNGKey(8))
     assert np.abs(np.asarray(out2["aug"]) - aug).mean() > 0.5
+
+
+def test_oamix_host_oracle_runs():
+    """The CPU oracle path (data/pipelines/oa_mix_host.py) produces the
+    reference's field contract and sane outputs."""
+    from oadg_tpu.data.pipelines.oa_mix import OAMix
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+    gt = np.asarray([[10, 10, 60, 50], [70, 20, 120, 90]], np.float32)
+    op = OAMix(version="augmix", num_views=2, keep_orig=True, severity=10,
+               on_device=False)
+    np.random.seed(0)
+    results = op(dict(img=img, gt_bboxes=gt, img_fields=["img"]))
+    assert "img2" in results and results["img2"].shape == img.shape
+    assert results["img2"].dtype == np.uint8
+    delta = np.abs(results["img2"].astype(int) - img.astype(int)).mean()
+    assert 1.0 < delta < 120.0, delta
+    np.testing.assert_array_equal(results["img"], img)   # keep_orig
+    assert "multilevel_boxes" in results and "oamix_boxes" in results
+    assert "gt_bboxes2" in results
+
+
+def test_oamix_host_vs_device_statistics():
+    """Distributional cross-check: host oracle and device kernels should
+    perturb the image by comparable magnitudes (quantization-tolerance
+    equivalence per the north star; exact RNG replay is impossible across
+    numpy and counted PRNG streams)."""
+    import jax
+    from oadg_tpu.data.pipelines.oa_mix_host import oamix_host
+    from oadg_tpu.ops.oamix_device import oamix_batch
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+    gt = np.asarray([[10, 10, 60, 50], [70, 20, 120, 90]], np.float32)
+    cfg = dict(version="augmix", num_views=2, severity=10, mixture_width=3,
+               spatial_ratio=4, sigma_ratio=0.3)
+    np.random.seed(0)
+    host_deltas = [np.abs(oamix_host(img, gt, cfg).astype(float)
+                          - img).mean() for _ in range(4)]
+    dev_deltas = []
+    for s in range(4):
+        out = oamix_batch(jnp.asarray(img[None].astype(np.float32)),
+                          jnp.asarray(gt[None]), jnp.ones((1, 2), bool),
+                          jnp.asarray([[96.0, 128.0]]),
+                          jax.random.PRNGKey(s), cfg)
+        dev_deltas.append(float(np.abs(
+            np.asarray(out["aug"][0, 0]) - img.astype(np.float32)).mean()))
+    h, d = np.mean(host_deltas), np.mean(dev_deltas)
+    assert 0.3 < d / max(h, 1e-6) < 3.0, (h, d)
