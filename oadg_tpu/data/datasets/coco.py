@@ -106,9 +106,23 @@ class CocoDataset(CustomDataset):
         return valid
 
     def evaluate(self, results, metric="bbox", logger=None, classwise=False,
-                 **kwargs) -> Dict[str, float]:
-        """COCO bbox mAP (reference coco.py:364 via pycocotools; here the
-        in-repo evaluator). ``results``: per image per-class det lists."""
+                 proposal_nums=(100, 300, 1000), **kwargs) -> Dict[str, float]:
+        """COCO bbox mAP / proposal recall (reference coco.py:364).
+        ``results``: per image per-class det lists (or per-image proposal
+        arrays for the proposal metrics)."""
+        metrics = metric if isinstance(metric, (list, tuple)) else [metric]
+        if any(m in ("proposal", "proposal_fast") for m in metrics):
+            from ...core.evaluation.mean_ap import eval_recalls
+            gts = [self.get_ann_info(i)["bboxes"] for i in range(len(self))]
+            props = [np.vstack(r) if isinstance(r, list) else np.asarray(r)
+                     for r in results]
+            ar = eval_recalls(gts, props, proposal_nums,
+                              np.linspace(0.5, 0.95, 10))
+            out = {f"AR@{n}": round(float(ar[i].mean()), 4)
+                   for i, n in enumerate(proposal_nums)}
+            if logger is not None:
+                logger.info(str(out))
+            return out
         from ...core.evaluation.coco_eval import COCOEvalBbox
         gts, dets = [], []
         for idx in range(len(self)):

@@ -152,3 +152,78 @@ class ResNet(nn.Module):
 class ResNetV1d(ResNet):
     """ResNet with deep stem + avg-down (reference resnet.py ResNetV1d)."""
     deep_stem: bool = True
+
+
+class BottleneckX(nn.Module):
+    """Grouped bottleneck (reference mmdet/models/backbones/resnext.py)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    style: str = "pytorch"
+    norm_cfg: Optional[dict] = None
+    groups: int = 32
+    base_width: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import flax.linen as fnn
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        s1, s2 = (self.stride, 1) if self.style == "caffe" else (1, self.stride)
+        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        identity = x
+        out = Conv(width, 1, s1, 0, use_bias=False, dtype=self.dtype,
+                   name="conv1")(x)
+        out = norm()(out)
+        out = fnn.relu(out)
+        p = self.dilation
+        out = fnn.Conv(width, (3, 3), strides=(s2, s2),
+                       padding=[(p, p), (p, p)],
+                       kernel_dilation=(p, p),
+                       feature_group_count=self.groups, use_bias=False,
+                       dtype=self.dtype, name="conv2")(out)
+        out = norm()(out)
+        out = fnn.relu(out)
+        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, dtype=self.dtype,
+                   name="conv3")(out)
+        out = norm()(out)
+        if self.downsample:
+            identity = Conv(self.planes * 4, 1, self.stride, 0,
+                            use_bias=False, dtype=self.dtype,
+                            name="downsample_conv")(x)
+            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
+        return fnn.relu(out + identity)
+
+
+@BACKBONES.register_module()
+class ResNeXt(ResNet):
+    """ResNeXt (reference mmdet/models/backbones/resnext.py): grouped
+    bottlenecks; config adds ``groups`` and ``base_width``."""
+    groups: int = 32
+    base_width: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        import flax.linen as fnn
+        _, stage_blocks = ARCH[self.depth]
+        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        x = Conv(self.stem_channels, 7, 2, 3, use_bias=False,
+                 dtype=self.dtype, name="conv1")(x)
+        x = norm()(x)
+        x = fnn.relu(x)
+        x = max_pool_3x3_s2(x)
+        outs = []
+        for i in range(self.num_stages):
+            planes = self.base_channels * 2 ** i
+            for j in range(stage_blocks[i]):
+                stride = self.strides[i] if j == 0 else 1
+                downsample = j == 0 and (stride != 1 or
+                                         x.shape[-1] != planes * 4)
+                x = BottleneckX(planes, stride, self.dilations[i], downsample,
+                                self.style, self.norm_cfg or dict(type="BN"),
+                                self.groups, self.base_width, self.dtype,
+                                name=f"layer{i+1}_{j}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
