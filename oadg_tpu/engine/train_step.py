@@ -22,9 +22,9 @@ from ..parallel.mesh import batch_sharding, replicated
 
 
 def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
-    """Sum every 'loss*' entry; keep everything for logging (reference
-    base.py _parse_losses)."""
-    total = sum(v for k, v in losses.items() if k.startswith("loss"))
+    """Sum every entry whose key contains 'loss' (reference base.py
+    _parse_losses — cascade heads emit 's0.loss_cls'-style keys)."""
+    total = sum(v for k, v in losses.items() if "loss" in k)
     log_vars = dict(losses)
     log_vars["loss"] = total
     return total, log_vars

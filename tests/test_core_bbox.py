@@ -226,3 +226,36 @@ def test_multiclass_nms():
     assert (np.diff(s) <= 1e-6).all()
     assert (np.asarray(labels)[v] >= 0).all()
     assert (np.asarray(labels)[~v] == -1).all()
+
+
+def test_eval_map_hand_example():
+    """VOC mAP on a constructed example with known PR curve."""
+    import numpy as np
+    from oadg_tpu.core.evaluation.mean_ap import eval_map
+    ann = [dict(bboxes=np.array([[0, 0, 10, 10], [20, 20, 30, 30]],
+                                np.float32),
+                labels=np.array([0, 0]))]
+    # det1 perfect on gt1, det2 misses, det3 perfect on gt2 (lower score)
+    dets = [[np.array([[0, 0, 10, 10, 0.9],
+                       [50, 50, 60, 60, 0.8],
+                       [20, 20, 30, 30, 0.7]], np.float32)]]
+    m, per = eval_map(dets, ann, iou_thr=0.5)
+    # PR points: (r=.5, p=1), (r=.5, p=.5), (r=1, p=2/3) -> AP = .5*1 + .5*(2/3)
+    assert abs(m - (0.5 * 1.0 + 0.5 * (2.0 / 3.0))) < 1e-6
+
+    m11, _ = eval_map(dets, ann, iou_thr=0.5, mode="11points")
+    # 11-pt: recall thresholds 0..1; p_interp(r<=0.5)=1 (6 pts), >0.5 = 2/3
+    assert abs(m11 - (6 * 1.0 + 5 * (2 / 3)) / 11.0) < 1e-6
+
+
+def test_eval_map_ignore_regions():
+    import numpy as np
+    from oadg_tpu.core.evaluation.mean_ap import eval_map
+    ann = [dict(bboxes=np.array([[0, 0, 10, 10]], np.float32),
+                labels=np.array([0]),
+                bboxes_ignore=np.array([[40, 40, 60, 60]], np.float32),
+                labels_ignore=np.array([0]))]
+    dets = [[np.array([[0, 0, 10, 10, 0.9],
+                       [40, 40, 60, 60, 0.8]], np.float32)]]
+    m, _ = eval_map(dets, ann, iou_thr=0.5)
+    assert abs(m - 1.0) < 1e-6          # ignored-region det is neither tp/fp

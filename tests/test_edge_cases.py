@@ -81,3 +81,12 @@ def test_oamix_no_gt():
                       jax.random.PRNGKey(0), cfg)
     aug = np.asarray(out["aug"])
     assert np.isfinite(aug).all() and 0 <= aug.min() and aug.max() <= 255
+
+
+def test_parse_losses_includes_cascade_stage_keys():
+    from oadg_tpu.engine.train_step import parse_losses
+    total, log_vars = parse_losses({
+        "s0.loss_cls": jnp.asarray(1.0), "s1.loss_bbox": jnp.asarray(2.0),
+        "loss_rpn_cls": jnp.asarray(3.0), "acc": jnp.asarray(99.0)})
+    assert float(total) == 6.0
+    assert float(log_vars["loss"]) == 6.0
