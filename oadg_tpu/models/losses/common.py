@@ -208,3 +208,63 @@ class MSELoss:
         red = reduction_override or self.reduction
         return self.loss_weight * weight_reduce_loss(
             (pred - target) ** 2, weight, red, avg_factor)
+
+
+def _center_dist2_and_enclose(pred, target):
+    px = (pred[..., 0] + pred[..., 2]) * 0.5
+    py = (pred[..., 1] + pred[..., 3]) * 0.5
+    tx = (target[..., 0] + target[..., 2]) * 0.5
+    ty = (target[..., 1] + target[..., 3]) * 0.5
+    rho2 = (px - tx) ** 2 + (py - ty) ** 2
+    ex1 = jnp.minimum(pred[..., 0], target[..., 0])
+    ey1 = jnp.minimum(pred[..., 1], target[..., 1])
+    ex2 = jnp.maximum(pred[..., 2], target[..., 2])
+    ey2 = jnp.maximum(pred[..., 3], target[..., 3])
+    c2 = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
+    return rho2, jnp.maximum(c2, 1e-6)
+
+
+@LOSSES.register_module()
+class DIoULoss:
+    """Distance-IoU loss (reference mmdet/models/losses/iou_loss.py DIoULoss)."""
+
+    def __init__(self, eps=1e-6, reduction="mean", loss_weight=1.0, **kw):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        from ...core.bbox.geometry import bbox_overlaps
+        red = reduction_override or self.reduction
+        ious = bbox_overlaps(pred, target, is_aligned=True)
+        rho2, c2 = _center_dist2_and_enclose(pred, target)
+        loss = 1 - ious + rho2 / c2
+        if weight is not None and weight.ndim > loss.ndim:
+            weight = weight[..., 0]
+        return self.loss_weight * weight_reduce_loss(loss, weight, red,
+                                                     avg_factor)
+
+
+@LOSSES.register_module()
+class CIoULoss(DIoULoss):
+    """Complete-IoU loss (reference iou_loss.py CIoULoss)."""
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        from ...core.bbox.geometry import bbox_overlaps
+        red = reduction_override or self.reduction
+        ious = bbox_overlaps(pred, target, is_aligned=True)
+        rho2, c2 = _center_dist2_and_enclose(pred, target)
+        pw = jnp.maximum(pred[..., 2] - pred[..., 0], 1e-6)
+        ph = jnp.maximum(pred[..., 3] - pred[..., 1], 1e-6)
+        tw = jnp.maximum(target[..., 2] - target[..., 0], 1e-6)
+        th = jnp.maximum(target[..., 3] - target[..., 1], 1e-6)
+        v = (4 / jnp.pi ** 2) * (jnp.arctan(tw / th)
+                                 - jnp.arctan(pw / ph)) ** 2
+        alpha = v / jnp.maximum(1 - ious + v, 1e-6)
+        loss = 1 - ious + rho2 / c2 + jax.lax.stop_gradient(alpha) * v
+        if weight is not None and weight.ndim > loss.ndim:
+            weight = weight[..., 0]
+        return self.loss_weight * weight_reduce_loss(loss, weight, red,
+                                                     avg_factor)

@@ -87,3 +87,44 @@ class ChannelMapper(nn.Module):
                        self.kernel_size // 2, norm_cfg=self.norm_cfg,
                        act=None, dtype=self.dtype, name=f"conv_{i}")(x)
             for i, x in enumerate(inputs))
+
+
+@NECKS.register_module()
+class PAFPN(FPN):
+    """Path Aggregation FPN (reference mmdet/models/necks/pafpn.py): FPN
+    top-down pass + an extra bottom-up path with downsample convs."""
+
+    @nn.compact
+    def __call__(self, inputs):
+        end = len(self.in_channels) if self.end_level == -1 else self.end_level + 1
+        used = list(inputs[self.start_level:end])
+        laterals = [
+            Conv(self.out_channels, 1, 1, 0, dtype=self.dtype,
+                 name=f"lateral_{i}")(x)
+            for i, x in enumerate(used)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(
+                laterals[i], laterals[i - 1].shape[1:3])
+        inter = [
+            Conv(self.out_channels, 3, 1, 1, dtype=self.dtype,
+                 name=f"fpn_conv_{i}")(laterals[i])
+            for i in range(len(laterals))
+        ]
+        # bottom-up augmentation
+        for i in range(len(inter) - 1):
+            down = Conv(self.out_channels, 3, 2, 1, dtype=self.dtype,
+                        name=f"downsample_conv_{i}")(inter[i])
+            inter[i + 1] = inter[i + 1] + down[:, :inter[i + 1].shape[1],
+                                               :inter[i + 1].shape[2], :]
+        outs = [
+            Conv(self.out_channels, 3, 1, 1, dtype=self.dtype,
+                 name=f"pafpn_conv_{i}")(x) if i > 0 else x
+            for i, x in enumerate(inter)
+        ]
+        extra = self.num_outs - len(outs)
+        for _ in range(max(extra, 0)):
+            outs.append(jax.lax.reduce_window(
+                outs[-1], -jnp.inf, jax.lax.max,
+                (1, 1, 1, 1), (1, 2, 2, 1), "VALID"))
+        return tuple(outs)
