@@ -214,6 +214,129 @@ class PseudoSampler:
         return assign.gt_inds > 0, assign.gt_inds == 0
 
 
+@BBOX_SAMPLERS.register_module()
+class OHEMSampler(RandomSampler):
+    """Online hard example mining (reference
+    mmdet/core/bbox/samplers/ohem_sampler.py:10).
+
+    The reference runs the bbox head on every candidate and keeps the
+    highest-loss positives/negatives. Static-shape version: the caller
+    passes per-candidate ``hard_scores`` (typically the classification loss
+    of each candidate under the current head) and selection ranks by score
+    descending instead of uniformly at random. Without scores it degrades
+    to RandomSampler — same contract the reference has before the head
+    exists (e.g. RPN stage).
+    """
+
+    def sample(self, key: jax.Array, assign: AssignResult,
+               hard_scores: Optional[jnp.ndarray] = None) -> SamplingResult:
+        if hard_scores is None:
+            return super().sample(key, assign)
+        num = self.num
+        max_pos = int(round(num * self.pos_fraction))
+        is_pos_all = assign.gt_inds > 0
+        is_neg_all = assign.gt_inds == 0
+        n = assign.gt_inds.shape[0]
+
+        def hard_rank(mask):
+            # rank by loss descending among mask; others pushed to the end
+            scores = jnp.where(mask, -hard_scores, jnp.inf)
+            order = jnp.argsort(scores)
+            return jnp.zeros(n, jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32))
+
+        pos_rank = hard_rank(is_pos_all)
+        pos_sel = is_pos_all & (pos_rank < max_pos)
+        num_pos = jnp.sum(pos_sel)
+        neg_needed = num - num_pos
+        if self.neg_pos_ub >= 0:
+            neg_needed = jnp.minimum(neg_needed,
+                                     self.neg_pos_ub * jnp.maximum(num_pos, 1))
+        neg_rank = hard_rank(is_neg_all)
+        neg_sel = is_neg_all & (neg_rank < neg_needed)
+        sort_key = jnp.where(
+            pos_sel, pos_rank.astype(jnp.float32),
+            jnp.where(neg_sel, 1e4 + neg_rank.astype(jnp.float32),
+                      1e8 + jnp.arange(n, dtype=jnp.float32)))
+        inds = jnp.argsort(sort_key)[:num].astype(jnp.int32)
+        return SamplingResult(
+            inds=inds, is_pos=pos_sel[inds], valid=(pos_sel | neg_sel)[inds],
+            gt_inds=assign.gt_inds[inds], labels=assign.labels[inds])
+
+
+@BBOX_ASSIGNERS.register_module()
+class ATSSAssigner:
+    """Adaptive Training Sample Selection (reference
+    mmdet/core/bbox/assigners/atss_assigner.py:12), static-shape.
+
+    Per gt: take the ``topk`` anchors closest by center distance on each
+    pyramid level, compute mean+std of their IoUs as an adaptive threshold,
+    keep candidates above it whose centers lie inside the gt box. Ragged
+    per-level candidate lists become a fixed (G, L*topk) selection mask.
+    """
+
+    def __init__(self, topk: int = 9, ignore_iof_thr: float = -1, **kwargs):
+        self.topk = topk
+
+    def assign(self, bboxes, num_level_bboxes, gt_bboxes, gt_valid,
+               gt_labels=None, box_valid=None) -> AssignResult:
+        """bboxes (N,4); num_level_bboxes: python list of per-level counts
+        summing to N; gt_bboxes (G,4); gt_valid (G,)."""
+        N, G = bboxes.shape[0], gt_bboxes.shape[0]
+        ious = bbox_overlaps(bboxes, gt_bboxes)                  # (N, G)
+        ious = jnp.where(gt_valid[None, :], ious, 0.0)
+        if box_valid is not None:
+            ious = jnp.where(box_valid[:, None], ious, 0.0)
+
+        acx = (bboxes[:, 0] + bboxes[:, 2]) * 0.5
+        acy = (bboxes[:, 1] + bboxes[:, 3]) * 0.5
+        gcx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+        gcy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+        dist = jnp.sqrt((acx[:, None] - gcx[None, :]) ** 2
+                        + (acy[:, None] - gcy[None, :]) ** 2)    # (N, G)
+        if box_valid is not None:
+            dist = jnp.where(box_valid[:, None], dist, jnp.inf)
+
+        # per-level top-k by distance -> candidate mask (N, G)
+        cand = jnp.zeros((N, G), bool)
+        start = 0
+        for nl in num_level_bboxes:
+            d = dist[start:start + nl]                           # (nl, G)
+            k = min(self.topk, nl)
+            thr = -jax.lax.top_k(-d.T, k)[0][:, -1]              # (G,) kth dist
+            cand = cand.at[start:start + nl].set(d <= thr[None, :])
+            start += nl
+
+        # adaptive IoU threshold over candidates: mean + std
+        ci = jnp.where(cand, ious, 0.0)
+        cnt = jnp.maximum(jnp.sum(cand, axis=0), 1)              # (G,)
+        mean = jnp.sum(ci, axis=0) / cnt
+        var = jnp.sum(jnp.where(cand, (ious - mean[None, :]) ** 2, 0.0),
+                      axis=0) / cnt
+        thr = mean + jnp.sqrt(var)                               # (G,)
+
+        inside = ((acx[:, None] >= gt_bboxes[None, :, 0])
+                  & (acx[:, None] <= gt_bboxes[None, :, 2])
+                  & (acy[:, None] >= gt_bboxes[None, :, 1])
+                  & (acy[:, None] <= gt_bboxes[None, :, 3]))
+        pos = cand & inside & (ious >= thr[None, :]) & gt_valid[None, :]
+
+        # each anchor -> gt of max IoU among its positive matches
+        pos_ious = jnp.where(pos, ious, -1.0)
+        best = jnp.argmax(pos_ious, axis=1)                      # (N,)
+        has = jnp.max(pos_ious, axis=1) > -0.5
+        assigned = jnp.where(has, best.astype(jnp.int32) + 1, 0)
+        if box_valid is not None:
+            assigned = jnp.where(box_valid, assigned, -1)
+        max_overlaps = jnp.max(jnp.where(gt_valid[None, :], ious, -1.0), axis=1)
+        if gt_labels is not None:
+            matched = jnp.clip(assigned - 1, 0, G - 1)
+            labels = jnp.where(assigned > 0, gt_labels[matched], -1).astype(jnp.int32)
+        else:
+            labels = jnp.full((N,), -1, jnp.int32)
+        return AssignResult(assigned, max_overlaps, labels)
+
+
 @BBOX_ASSIGNERS.register_module()
 class GridAssigner:
     """Config-surface entry for YOLO grid assignment (reference

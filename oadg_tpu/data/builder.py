@@ -73,6 +73,15 @@ class StaticBatcher:
             batch["gt_bboxes"] = gt
             batch["gt_labels"] = lbl
             batch["gt_valid"] = valid
+            if "gt_masks" in samples[0]:
+                m0 = samples[0]["gt_masks"].shape[-1] if \
+                    samples[0]["gt_masks"].size else 56
+                gm = np.zeros((b, g, m0, m0), np.float32)
+                for i, s in enumerate(samples):
+                    n = min(len(s["gt_masks"]), g)
+                    if n:
+                        gm[i, :n] = s["gt_masks"][:n]
+                batch["gt_masks"] = gm
         batch["metas"] = [s["img_metas"] for s in samples]
         return batch
 

@@ -84,4 +84,33 @@ class LoadAnnotations:
                 results["bbox_fields"].append("gt_bboxes_ignore")
         if self.with_label:
             results["gt_labels"] = ann["labels"].copy()
+        if self.with_mask:
+            results["gt_masks"] = self._load_masks(results, ann)
+            results["mask_fields"] = ["gt_masks"]
         return results
+
+    @staticmethod
+    def _load_masks(results, ann):
+        """COCO polygon / RLE-dict annotation -> box-cropped (N, M0, M0)
+        float32 device masks (core/mask/structures.py redesign of the
+        reference's BitmapMasks; reference loading.py:412 poly2mask)."""
+        from ...core.mask.structures import BitmapMasks, PolygonMasks
+        h = results["img_info"].get("height") or results["img"].shape[0]
+        w = results["img_info"].get("width") or results["img"].shape[1]
+        raw = ann.get("masks") or []
+        insts = []
+        for m in raw:
+            if isinstance(m, dict):          # uncompressed RLE
+                flat = np.zeros(h * w, np.uint8)
+                counts, pos, val = m.get("counts", []), 0, 0
+                for c in counts:
+                    flat[pos:pos + c] = val
+                    pos += c
+                    val = 1 - val
+                insts.append(flat.reshape(w, h).T if m.get("size") else
+                             flat.reshape(h, w))
+            else:                            # polygon list
+                insts.append(PolygonMasks([m], h, w).to_bitmap().masks[0])
+        bm = BitmapMasks(insts, h, w) if insts else BitmapMasks([], h, w)
+        boxes = ann["bboxes"] if len(insts) else np.zeros((0, 4), np.float32)
+        return bm.to_box_cropped(boxes, m0=56)

@@ -126,6 +126,11 @@ class RandomFlip:
                     b[..., 1], b[..., 3] = h - results[key][..., 3], \
                         h - results[key][..., 1]
                 results[key] = b
+            for key in results.get("mask_fields", []):
+                # box-cropped (N, M0, M0) masks flip within their crop
+                axis = 2 if results["flip_direction"] == "horizontal" else 1
+                results[key] = np.ascontiguousarray(
+                    np.flip(results[key], axis=axis))
         return results
 
 

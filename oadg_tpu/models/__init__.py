@@ -2,8 +2,10 @@
 from . import layers  # noqa: F401
 from .backbones import darknet, resnet  # noqa: F401
 from .necks import fpn, yolo_neck  # noqa: F401
-from .dense_heads import fcos_head, retina_head, rpn_head, yolo_head  # noqa: F401
-from .roi_heads import bbox_heads, cascade_roi_head, standard_roi_head  # noqa: F401
+from .dense_heads import (atss_head, fcos_head, retina_head,  # noqa: F401
+                          rpn_head, yolo_head)
+from .roi_heads import (bbox_heads, cascade_roi_head, mask_heads,  # noqa: F401
+                        standard_roi_head)
 from .losses import common, oadg  # noqa: F401
 from .detectors import single_stage, two_stage  # noqa: F401
 from .builder import (build_backbone, build_detector, build_head, build_loss,

@@ -179,7 +179,8 @@ class TwoStageDetector(nn.Module):
         losses.update(self.roi.loss(
             feats, prop_boxes, prop_valid, batch["gt_bboxes"],
             batch["gt_valid"], batch["gt_labels"], roi_rng,
-            random_proposals=random_proposals, random_valid=random_valid))
+            random_proposals=random_proposals, random_valid=random_valid,
+            gt_masks=batch.get("gt_masks")))
         return losses
 
     def simple_test(self, batch, rescale: bool = True):
@@ -202,6 +203,26 @@ class FasterRCNN(TwoStageDetector):
 
 @DETECTORS.register_module()
 class MaskRCNN(TwoStageDetector):
-    """Registered for config compatibility; mask branch lands with the P2
-    surface — box path behaves as FasterRCNN."""
-    pass
+    """Mask R-CNN (reference mmdet/models/detectors/mask_rcnn.py:7): the
+    RoI head carries the mask branch when ``roi_head.mask_head`` is set —
+    training consumes (B, G, M0, M0) box-cropped gt masks from the batch
+    (``gt_masks``), inference appends per-detection 2r x 2r mask probs."""
+
+    def simple_test(self, batch, rescale: bool = True):
+        feats = self.extract_feat(batch["img"])
+        cls_scores, bbox_preds = self.rpn(feats)
+        cfg = dict(self.test_cfg or {}).get("rpn", {})
+        prop_boxes, _, prop_valid = self.rpn.get_proposals(
+            cls_scores, bbox_preds, batch["img_shape"], cfg)
+        sf = batch.get("scale_factor",
+                       jnp.ones((batch["img"].shape[0], 4), jnp.float32))
+        dets, labels, valid = self.roi.simple_test(
+            feats, prop_boxes, prop_valid, batch["img_shape"], sf,
+            rescale=rescale)
+        if getattr(self.roi, "mask_head_m", None) is None:
+            return dets, labels, valid
+        # mask head consumes feature-space boxes: undo the rescale
+        boxes_feat = dets[..., :4] * sf[:, None, :] if rescale else dets[..., :4]
+        masks = self.roi.simple_test_mask(
+            feats, jnp.concatenate([boxes_feat, dets[..., 4:]], -1), labels)
+        return dets, labels, valid, masks

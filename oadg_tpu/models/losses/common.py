@@ -210,6 +210,212 @@ class MSELoss:
             (pred - target) ** 2, weight, red, avg_factor)
 
 
+@LOSSES.register_module()
+class BalancedL1Loss:
+    """Libra R-CNN balanced L1 (reference mmdet/models/losses/balanced_l1_loss.py)."""
+
+    def __init__(self, alpha=0.5, gamma=1.5, beta=1.0, reduction="mean",
+                 loss_weight=1.0, **kw):
+        self.alpha, self.gamma, self.beta = alpha, gamma, beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        a, g, b = self.alpha, self.gamma, self.beta
+        diff = jnp.abs(pred - target)
+        bc = jnp.e ** (g / a) - 1
+        loss = jnp.where(
+            diff < b,
+            a / bc * (bc * diff + b) * jnp.log(bc * diff / b + 1) - a * diff,
+            g * diff + g / bc - a * b)
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class GHMC:
+    """Gradient-harmonized classification loss (reference
+    mmdet/models/losses/ghm_loss.py:31). The reference keeps a momentum
+    buffer of bin counts (stateful); here the per-batch histogram is used
+    directly (momentum=0 semantics) so the loss stays a pure function for
+    jit — documented divergence.
+    """
+
+    def __init__(self, bins=10, momentum=0.0, use_sigmoid=True,
+                 loss_weight=1.0, **kw):
+        assert use_sigmoid
+        self.bins = bins
+        self.loss_weight = loss_weight
+        self.edges = jnp.asarray(
+            [i / bins for i in range(bins + 1)]).at[-1].add(1e-6)
+
+    def __call__(self, pred, target, label_weight=None, avg_factor=None, **kw):
+        """pred (N,C) logits, target (N,C) binary, label_weight (N,C)."""
+        if label_weight is None:
+            label_weight = jnp.ones_like(pred)
+        valid = label_weight > 0
+        g = jnp.abs(jax.nn.sigmoid(pred) - target)          # gradient norm
+        tot = jnp.maximum(jnp.sum(valid), 1.0)
+        weights = jnp.zeros_like(pred)
+        for i in range(self.bins):
+            inds = (g >= self.edges[i]) & (g < self.edges[i + 1]) & valid
+            num_in_bin = jnp.sum(inds)
+            # GD(g) density weighting: tot / num_in_bin for occupied bins
+            weights = jnp.where(inds & (num_in_bin > 0),
+                                tot / jnp.maximum(num_in_bin, 1.0), weights)
+        occ = sum(jnp.any((g >= self.edges[i]) & (g < self.edges[i + 1]) & valid)
+                  for i in range(self.bins)).astype(jnp.float32)
+        weights = weights / jnp.maximum(occ, 1.0)
+        loss = binary_cross_entropy_with_logits(pred, target) * weights
+        return self.loss_weight * jnp.sum(loss) / tot
+
+
+@LOSSES.register_module()
+class GHMR:
+    """Gradient-harmonized regression loss (reference ghm_loss.py:124),
+    authentic smooth-L1-like ASL1 base; same momentum=0 note as GHMC."""
+
+    def __init__(self, mu=0.02, bins=10, momentum=0.0, loss_weight=1.0, **kw):
+        self.mu = mu
+        self.bins = bins
+        self.loss_weight = loss_weight
+        self.edges = jnp.asarray(
+            [i / bins for i in range(bins + 1)]).at[-1].set(1e3)
+
+    def __call__(self, pred, target, label_weight=None, avg_factor=None, **kw):
+        if label_weight is None:
+            label_weight = jnp.ones_like(pred)
+        mu = self.mu
+        diff = pred - target
+        loss = jnp.sqrt(diff * diff + mu * mu) - mu           # ASL1
+        g = jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff))
+        valid = label_weight > 0
+        tot = jnp.maximum(jnp.sum(valid), 1.0)
+        weights = jnp.zeros_like(g)
+        for i in range(self.bins):
+            inds = (g >= self.edges[i]) & (g < self.edges[i + 1]) & valid
+            num_in_bin = jnp.sum(inds)
+            weights = jnp.where(inds & (num_in_bin > 0),
+                                tot / jnp.maximum(num_in_bin, 1.0), weights)
+        occ = sum(jnp.any((g >= self.edges[i]) & (g < self.edges[i + 1]) & valid)
+                  for i in range(self.bins)).astype(jnp.float32)
+        weights = weights / jnp.maximum(occ, 1.0)
+        return self.loss_weight * jnp.sum(loss * weights) / tot
+
+
+@LOSSES.register_module()
+class DiceLoss:
+    """Dice loss for mask prediction (reference mmdet/models/losses/dice_loss.py)."""
+
+    def __init__(self, use_sigmoid=True, activate=True, reduction="mean",
+                 naive_dice=False, loss_weight=1.0, eps=1e-3, **kw):
+        self.use_sigmoid = use_sigmoid
+        self.activate = activate
+        self.reduction = reduction
+        self.naive_dice = naive_dice
+        self.loss_weight = loss_weight
+        self.eps = eps
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        if self.activate and self.use_sigmoid:
+            pred = jax.nn.sigmoid(pred)
+        p = pred.reshape(pred.shape[0], -1)
+        t = target.reshape(target.shape[0], -1).astype(p.dtype)
+        a = jnp.sum(p * t, axis=1)
+        if self.naive_dice:
+            b, c = jnp.sum(p, axis=1), jnp.sum(t, axis=1)
+            d = (2 * a + self.eps) / (b + c + self.eps)
+        else:
+            b = jnp.sum(p * p, axis=1) + self.eps
+            c = jnp.sum(t * t, axis=1) + self.eps
+            d = (2 * a + self.eps) / (b + c)
+        return self.loss_weight * weight_reduce_loss(1 - d, weight, red,
+                                                     avg_factor)
+
+
+@LOSSES.register_module()
+class QualityFocalLoss:
+    """GFL quality focal loss (reference mmdet/models/losses/gfocal_loss.py:45):
+    soft IoU-quality targets with |target - sigma|^beta modulation."""
+
+    def __init__(self, use_sigmoid=True, beta=2.0, reduction="mean",
+                 loss_weight=1.0, **kw):
+        assert use_sigmoid
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        """pred (N,C) logits; target = (labels (N,), scores (N,))."""
+        red = reduction_override or self.reduction
+        labels, scores = target
+        nc = pred.shape[-1]
+        sig = jax.nn.sigmoid(pred)
+        # negatives: target 0 everywhere, modulator sigma^beta
+        zeros = jnp.zeros_like(pred)
+        loss = binary_cross_entropy_with_logits(pred, zeros) * sig ** self.beta
+        # positives: at the label column, soft target=score
+        pos = labels < nc
+        onehot = jax.nn.one_hot(jnp.where(pos, labels, 0), nc)
+        soft = onehot * scores[..., None]
+        mod = jnp.abs(soft - sig) ** self.beta
+        pos_loss = binary_cross_entropy_with_logits(pred, soft) * mod
+        loss = jnp.where((onehot > 0) & pos[..., None], pos_loss, loss)
+        loss = jnp.sum(loss, axis=-1)
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class DistributionFocalLoss:
+    """GFL distribution focal loss (reference gfocal_loss.py:93): CE against
+    the two integer bins bracketing a continuous regression target."""
+
+    def __init__(self, reduction="mean", loss_weight=1.0, **kw):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, label, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        dl = jnp.floor(label).astype(jnp.int32)
+        dr = dl + 1
+        wl = dr.astype(pred.dtype) - label
+        wr = label - dl.astype(pred.dtype)
+        logp = jax.nn.log_softmax(pred, axis=-1)
+        nc = pred.shape[-1]
+        ll = -jnp.take_along_axis(logp, jnp.clip(dl, 0, nc - 1)[..., None], -1)[..., 0]
+        lr = -jnp.take_along_axis(logp, jnp.clip(dr, 0, nc - 1)[..., None], -1)[..., 0]
+        loss = ll * wl + lr * wr
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
+@LOSSES.register_module()
+class GaussianFocalLoss:
+    """CenterNet-style focal loss on gaussian heatmaps (reference
+    mmdet/models/losses/gaussian_focal_loss.py)."""
+
+    def __init__(self, alpha=2.0, gamma=4.0, reduction="mean",
+                 loss_weight=1.0, **kw):
+        self.alpha, self.gamma = alpha, gamma
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, gaussian_target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        eps = 1e-12
+        pos = (gaussian_target == 1).astype(pred.dtype)
+        neg_w = (1 - gaussian_target) ** self.gamma
+        loss = (-jnp.log(pred + eps) * (1 - pred) ** self.alpha * pos
+                - jnp.log(1 - pred + eps) * pred ** self.alpha
+                * neg_w * (1 - pos))
+        return self.loss_weight * weight_reduce_loss(loss, weight, red, avg_factor)
+
+
 def _center_dist2_and_enclose(pred, target):
     px = (pred[..., 0] + pred[..., 2]) * 0.5
     py = (pred[..., 1] + pred[..., 3]) * 0.5

@@ -32,6 +32,8 @@ from ...utils.registry import HEADS, LOSSES, build_from_cfg
 class StandardRoIHead(nn.Module):
     bbox_roi_extractor: Any = None
     bbox_head: Any = None
+    mask_roi_extractor: Any = None
+    mask_head: Any = None
     train_cfg: Any = None
     test_cfg: Any = None
     num_views: int = 1
@@ -62,14 +64,27 @@ class StandardRoIHead(nn.Module):
         self.add_gt_as_proposals = smp.pop("add_gt_as_proposals", True)
         self.sampler = RandomSampler(**smp)
         self.pos_weight = float(tc.get("pos_weight", -1))
+        # optional mask branch (reference standard_roi_head.py init_mask_head)
+        mh = dict(getattr(self, "mask_head", None) or {})
+        if mh:
+            mh_type = mh.pop("type", "FCNMaskHead")
+            self.mask_head_m = build_from_cfg(
+                dict(type=mh_type, **mh, dtype=self.dtype), HEADS)
+            mext = dict(getattr(self, "mask_roi_extractor", None)
+                        or self.bbox_roi_extractor or {})
+            mlayer = dict(mext.get("roi_layer", dict(output_size=14)))
+            self.mask_out_size = int(mlayer.get("output_size", 14))
+            self.mask_size = int(tc.get("mask_size", 28))
+        else:
+            self.mask_head_m = None
 
     # ---------------- shared pieces ----------------
 
-    def extract(self, feats, rois):
+    def extract(self, feats, rois, out_size: Optional[int] = None):
         """Multilevel RoIAlign (R, 5) -> (R, out, out, C)."""
         return roi_align_multilevel(
             list(feats[: len(self.featmap_strides)]), rois,
-            output_size=self.roi_out_size,
+            output_size=out_size or self.roi_out_size,
             featmap_strides=self.featmap_strides,
             sampling_ratio=self.sampling_ratio,
             finest_scale=self.finest_scale)
@@ -89,12 +104,52 @@ class StandardRoIHead(nn.Module):
         boxes = cand[res.inds]
         matched = jnp.clip(res.gt_inds - 1, 0, gt.shape[0] - 1)
         matched_gt = gt[matched]
-        return boxes, res.labels, res.is_pos, res.valid, matched_gt
+        return boxes, res.labels, res.is_pos, res.valid, matched_gt, matched
+
+    def _mask_loss(self, feats, boxes_all, labels_all, is_pos_all, valid_all,
+                   matched_all, matched_idx_all, gt_masks):
+        """Mask branch on the positive slots only (the sampler orders
+        positives first, so the first ``num*pos_fraction`` slots contain
+        every selected positive — static-shape pos-only compute, matching
+        the reference's ``pos_rois`` restriction)."""
+        n, s = boxes_all.shape[:2]
+        max_pos = max(int(round(s * self.sampler.pos_fraction)), 1)
+        pboxes = boxes_all[:, :max_pos]
+        plabels = labels_all[:, :max_pos]
+        pvalid = (is_pos_all & valid_all)[:, :max_pos]
+        pmatched = matched_all[:, :max_pos]
+        pmidx = matched_idx_all[:, :max_pos]
+
+        bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32),
+                          max_pos).reshape(n, max_pos)
+        rois = jnp.concatenate([bidx[..., None], pboxes], -1).reshape(-1, 5)
+        mfeats = self.extract(feats, rois, out_size=self.mask_out_size)
+        mask_pred = self.mask_head_m(mfeats)              # (R, 2r, 2r, K)
+
+        from .mask_heads import mask_targets
+        mgt_masks = jax.vmap(lambda m, i: m[i])(gt_masks, pmidx)
+        tgts = jax.vmap(lambda pb, mb, mm: mask_targets(
+            pb, mb, mm, self.mask_size))(pboxes, pmatched, mgt_masks)
+        return self.mask_head_m.loss(
+            mask_pred, tgts.reshape(-1, self.mask_size, self.mask_size),
+            plabels.reshape(-1), pvalid.reshape(-1))
+
+    def simple_test_mask(self, feats, dets, det_labels):
+        """(N, D, 5) dets -> (N, D, 2r, 2r) class-selected mask probs
+        (reference test_mixins.py simple_test_mask)."""
+        n, d = dets.shape[:2]
+        bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), d).reshape(n, d)
+        rois = jnp.concatenate([bidx[..., None], dets[..., :4]], -1).reshape(-1, 5)
+        mfeats = self.extract(feats, rois, out_size=self.mask_out_size)
+        mask_pred = self.mask_head_m(mfeats)
+        probs = self.mask_head_m.get_masks(mask_pred, det_labels.reshape(-1))
+        return probs.reshape(n, d, probs.shape[-2], probs.shape[-1])
 
     # ---------------- training ----------------
 
     def loss(self, feats, proposals, prop_valid, gt_bboxes, gt_valid,
-             gt_labels, rng, random_proposals=None, random_valid=None):
+             gt_labels, rng, random_proposals=None, random_valid=None,
+             gt_masks=None):
         """Compute RoI losses.
 
         Args:
@@ -103,6 +158,7 @@ class StandardRoIHead(nn.Module):
                 (clean images) are used when num_views > 1.
             gt_*: (N, G, ...) padded ground truth.
             random_proposals: (N, Q, 4) OA random proposals (contrastive only).
+            gt_masks: (N, G, M0, M0) per-gt box-cropped masks (mask branch).
         """
         v = self.num_views
         n = feats[0].shape[0]
@@ -110,7 +166,8 @@ class StandardRoIHead(nn.Module):
         s = self.sampler.num
 
         keys = jax.random.split(rng, b)
-        boxes, labels, is_pos, valid, matched_gt = jax.vmap(self._sample_one)(
+        boxes, labels, is_pos, valid, matched_gt, matched_idx = jax.vmap(
+            self._sample_one)(
             keys, proposals[:b], prop_valid[:b], gt_bboxes[:b], gt_valid[:b],
             gt_labels[:b])
         # replicate sampling across views (reference contrastive_roi_head.py:84-97)
@@ -134,6 +191,10 @@ class StandardRoIHead(nn.Module):
             cls_score, bbox_pred,
             tgt_labels.reshape(-1), tgt_lw.reshape(-1),
             tgt_deltas.reshape(-1, 4), tgt_bw.reshape(-1, 4))
+        if self.mask_head_m is not None and gt_masks is not None:
+            losses["loss_mask"] = self._mask_loss(
+                feats, boxes_all, tgt_labels, is_pos_all, valid_all,
+                matched_all, jnp.tile(matched_idx, (v, 1)), gt_masks)
         return losses
 
     # ---------------- inference ----------------
@@ -172,14 +233,16 @@ class ContrastiveRoIHead(StandardRoIHead):
     """OA-DG RoI head: multi-view shared sampling + contrastive loss."""
 
     def loss(self, feats, proposals, prop_valid, gt_bboxes, gt_valid,
-             gt_labels, rng, random_proposals=None, random_valid=None):
+             gt_labels, rng, random_proposals=None, random_valid=None,
+             gt_masks=None):
         v = self.num_views
         n = feats[0].shape[0]
         b = n // v
         s = self.sampler.num
 
         keys = jax.random.split(rng, b)
-        boxes, labels, is_pos, valid, matched_gt = jax.vmap(self._sample_one)(
+        boxes, labels, is_pos, valid, matched_gt, _ = jax.vmap(
+            self._sample_one)(
             keys, proposals[:b], prop_valid[:b], gt_bboxes[:b], gt_valid[:b],
             gt_labels[:b])
         boxes_all = jnp.tile(boxes, (v, 1, 1))

@@ -404,7 +404,7 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
 
 
 
-def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
+def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
               version: str):
     """One reference ``aug()`` call (oa_mix.py:264): the sampled op applied
     to the full image.
@@ -413,7 +413,15 @@ def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     op list (get_aug_list, oa_mix.py:15) — outside of vmap only the selected
     branch executes, so the expensive warp branches cost nothing when a LUT
     op is drawn.
+
+    The image crosses the conditional boundary in bf16: TPU conditionals
+    materialize their operands/results (~16 ms per execution for the f32
+    image — measured dominant); halving the bytes halves that. Compute
+    inside every branch stays f32 (bf16 represents the 0..255 integers
+    exactly, so the boundary cast is lossless on the uint8-valued chain
+    state).
     """
+    img = img_io.astype(jnp.float32)
     all_ops = version != "augmix"
     n_photo = 9 if all_ops else 4
 
@@ -514,8 +522,9 @@ def _aug_once(img, key, op_idx, fg: _FgInfo, img_shape, severity: float,
         op_idx < n_photo, op_idx,
         jnp.where(op_idx < n_photo + 3, n_photo,
                   n_photo + 1 + (op_idx - n_photo - 3)))
+    branches16 = [lambda k, b=b: b(k).astype(jnp.bfloat16) for b in branches]
     return jax.lax.switch(jnp.clip(branch_idx, 0, len(branches) - 1),
-                          branches, key)
+                          branches16, key)
 
 
 # -------------------------------------------------------------- oamix ------
@@ -568,22 +577,25 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         depth = (depth_cfg if depth_cfg > 0
                  else jax.random.randint(kc, (), 1, 4))
 
-        def depth_step(d, img_aug):
-            img_tmp = jnp.zeros_like(img_aug)
+        def depth_step(d, img_aug16):
+            img_tmp = jnp.zeros(img_aug16.shape, jnp.float32)
             for s in range(MAX_ML):
-                out_s = _aug_once(img_aug, call_keys[wi, d, s],
+                out_s = _aug_once(img_aug16, call_keys[wi, d, s],
                                   op_draw[wi, d, s], fg, img_shape,
-                                  severity, version)
+                                  severity, version).astype(jnp.float32)
                 img_tmp = img_tmp + ml_masks[s][..., None] * out_s
-            out_bg = _aug_once(img_aug, call_keys[wi, d, MAX_ML],
+            out_bg = _aug_once(img_aug16, call_keys[wi, d, MAX_ML],
                                op_draw[wi, d, MAX_ML], fg, img_shape,
-                               severity, version)
+                               severity, version).astype(jnp.float32)
             new = img_tmp + (1.0 - union_mask[..., None]) * out_bg
-            return jnp.clip(jnp.round(new), 0, 255)
+            # uint8-valued after clip+round: exact in bf16
+            return jnp.clip(jnp.round(new), 0, 255).astype(jnp.bfloat16)
 
         # traced upper bound: only `depth` iterations actually execute
         # (E[depth]=2 of max 3 — a masked static loop would waste ~1/3)
-        return jax.lax.fori_loop(0, depth, depth_step, img)
+        out16 = jax.lax.fori_loop(0, depth, depth_step,
+                                  img.astype(jnp.bfloat16))
+        return out16.astype(jnp.float32)
 
     chain_keys = jax.random.split(keys[5], width)
     img_oamix = jnp.zeros_like(img)

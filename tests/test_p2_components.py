@@ -1,0 +1,189 @@
+"""P2 surface: ATSS assigner, OHEM sampler, extra stock losses (reference
+mmdet/core/bbox/assigners/atss_assigner.py, samplers/ohem_sampler.py,
+models/losses/{balanced_l1_loss,ghm_loss,dice_loss,gfocal_loss}.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oadg_tpu.core.bbox.assign_sample import (ATSSAssigner, MaxIoUAssigner,
+                                              OHEMSampler)
+from oadg_tpu.models.losses.common import (BalancedL1Loss, DiceLoss,
+                                           DistributionFocalLoss,
+                                           GaussianFocalLoss, GHMC, GHMR,
+                                           QualityFocalLoss)
+
+
+def _grid_anchors(hs, ws, stride, size):
+    out = []
+    for h, w, s in zip(hs, ws, stride):
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        cx = (xs.ravel() + 0.5) * s
+        cy = (ys.ravel() + 0.5) * s
+        half = size * s / 2
+        out.append(np.stack([cx - half, cy - half, cx + half, cy + half], -1))
+    return [a.astype(np.float32) for a in out]
+
+
+def test_atss_assigner_basic():
+    levels = _grid_anchors([8, 4], [8, 4], [8, 16], 4.0)
+    anchors = jnp.asarray(np.concatenate(levels))
+    nlev = [len(l) for l in levels]
+    gt = jnp.asarray([[8.0, 8.0, 40.0, 40.0], [0, 0, 0, 0]])
+    gtv = jnp.asarray([True, False])
+    res = ATSSAssigner(topk=9).assign(anchors, nlev, gt, gtv,
+                                      gt_labels=jnp.asarray([2, 0]))
+    a = np.asarray(res.gt_inds)
+    # some positives, all matched to gt 1, labels propagated
+    assert (a == 1).sum() > 0 and not (a > 1).any()
+    assert set(np.asarray(res.labels)[a == 1]) == {2}
+    # positives must have centers inside the gt box
+    pos = np.asarray(anchors)[a == 1]
+    cx = (pos[:, 0] + pos[:, 2]) / 2
+    cy = (pos[:, 1] + pos[:, 3]) / 2
+    assert (cx >= 8).all() and (cx <= 40).all()
+    assert (cy >= 8).all() and (cy <= 40).all()
+
+
+def test_atss_assigner_no_gt():
+    levels = _grid_anchors([4], [4], [8], 4.0)
+    anchors = jnp.asarray(levels[0])
+    res = ATSSAssigner().assign(anchors, [16], jnp.zeros((2, 4)),
+                                jnp.zeros(2, bool))
+    assert not (np.asarray(res.gt_inds) > 0).any()
+
+
+def test_ohem_sampler_picks_hard_negatives():
+    boxes = jnp.asarray(np.random.RandomState(0).rand(64, 4) * 50)
+    boxes = jnp.concatenate([boxes[:, :2], boxes[:, :2] + 10], -1)
+    gt = jnp.asarray([[0.0, 0.0, 12.0, 12.0]])
+    assign = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.5).assign(
+        boxes, gt, jnp.asarray([True]), jnp.asarray([1]))
+    # hard score = index (so hardest = largest index)
+    scores = jnp.arange(64.0)
+    s = OHEMSampler(num=16, pos_fraction=0.25).sample(
+        jax.random.PRNGKey(0), assign, hard_scores=scores)
+    negs = np.asarray(s.inds)[~np.asarray(s.is_pos) & np.asarray(s.valid)]
+    all_negs = np.where(np.asarray(assign.gt_inds) == 0)[0]
+    # chosen negatives are exactly the top-|negs| hardest available
+    want = set(sorted(all_negs, key=lambda i: -i)[:len(negs)])
+    assert set(negs.tolist()) == want
+
+
+def test_ohem_sampler_fallback_random():
+    assign_inds = jnp.asarray([0] * 30 + [1, 2])
+    from oadg_tpu.core.bbox.assign_sample import AssignResult
+    ar = AssignResult(assign_inds, jnp.zeros(32), jnp.full((32,), -1, jnp.int32))
+    s = OHEMSampler(num=8, pos_fraction=0.5).sample(jax.random.PRNGKey(1), ar)
+    assert int(np.asarray(s.is_pos).sum()) == 2
+
+
+def test_balanced_l1_matches_l1_asymptote():
+    pred = jnp.asarray([10.0])
+    tgt = jnp.asarray([0.0])
+    l = BalancedL1Loss(alpha=0.5, gamma=1.5, beta=1.0, reduction="none")(pred, tgt)
+    # for large diff: gamma*d + C
+    assert abs(float(l[0]) - (1.5 * 10 + 1.5 / (np.e ** 3 - 1) - 0.5)) < 1e-4
+
+
+def test_balanced_l1_zero_at_zero():
+    l = BalancedL1Loss(reduction="none")(jnp.zeros(3), jnp.zeros(3))
+    assert np.allclose(np.asarray(l), 0.0, atol=1e-6)
+
+
+def test_ghmc_finite_and_weighted():
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randn(12, 4).astype(np.float32))
+    target = jnp.asarray((rng.rand(12, 4) > 0.5).astype(np.float32))
+    l = GHMC(bins=5)(pred, target)
+    assert np.isfinite(float(l)) and float(l) > 0
+
+
+def test_ghmr_finite():
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.randn(10, 4).astype(np.float32))
+    target = jnp.asarray(rng.randn(10, 4).astype(np.float32))
+    l = GHMR()(pred, target)
+    assert np.isfinite(float(l)) and float(l) > 0
+
+
+def test_dice_perfect_prediction():
+    t = jnp.asarray(np.random.RandomState(2).rand(3, 8, 8) > 0.5).astype(jnp.float32)
+    logits = (t * 2 - 1) * 20.0           # sigmoid -> ~0/1
+    l = DiceLoss()(logits, t)
+    assert float(l) < 0.01
+
+
+def test_dice_worst_prediction():
+    t = jnp.ones((2, 4, 4))
+    logits = -20.0 * jnp.ones((2, 4, 4))
+    assert float(DiceLoss()(logits, t)) > 0.9
+
+
+def test_qfl_zero_when_perfect():
+    labels = jnp.asarray([0, 2])
+    scores = jnp.asarray([1.0, 1.0])
+    logits = jnp.full((2, 3), -30.0)
+    logits = logits.at[0, 0].set(30.0).at[1, 2].set(30.0)
+    l = QualityFocalLoss()(logits, (labels, scores))
+    assert float(l) < 1e-3
+
+
+def test_dfl_brackets_target():
+    # target 2.3 -> CE against bins 2 (w 0.7) and 3 (w 0.3)
+    logits = jnp.asarray([[0.0, 0.0, 5.0, 5.0, 0.0]])
+    label = jnp.asarray([2.3])
+    l = DistributionFocalLoss(reduction="none")(logits, label)
+    logp = jax.nn.log_softmax(logits, -1)
+    want = -0.7 * logp[0, 2] - 0.3 * logp[0, 3]
+    assert abs(float(l[0]) - float(want)) < 1e-5
+
+
+def test_gaussian_focal_low_on_match():
+    hm = jnp.zeros((1, 8, 8)).at[0, 4, 4].set(1.0)
+    pred = jnp.clip(hm, 1e-4, 1 - 1e-4)
+    assert float(GaussianFocalLoss()(pred, hm)) < 0.01
+
+
+def test_atss_detector_train_and_test():
+    from oadg_tpu.models import build_detector
+    model = dict(
+        type="ATSS",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), norm_cfg=dict(type="BN"),
+                      base_channels=16),
+        neck=dict(type="FPN", in_channels=[16, 32, 64, 128], out_channels=32,
+                  num_outs=5, start_level=1,
+                  add_extra_convs="on_output"),
+        bbox_head=dict(type="ATSSHead", num_classes=3, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       anchor_generator=dict(
+                           octave_base_scale=8, scales_per_octave=1,
+                           ratios=[1.0], strides=[8, 16, 32, 64, 128])))
+    train_cfg = dict(assigner=dict(type="ATSSAssigner", topk=9))
+    test_cfg = dict(nms_pre=100, score_thr=0.05,
+                    nms=dict(iou_threshold=0.6), max_per_img=10)
+    det = build_detector(model, train_cfg, test_cfg)
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 64, 96
+    batch = {
+        "img": jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)),
+        "img_shape": jnp.asarray([[h, w]] * b, jnp.float32),
+        "gt_bboxes": jnp.asarray(
+            np.stack([[[8, 8, 40, 40], [50, 20, 80, 56]]] * b)
+            .astype(np.float32)),
+        "gt_labels": jnp.asarray(np.stack([[0, 2]] * b)),
+        "gt_valid": jnp.ones((b, 2), bool),
+        "scale_factor": jnp.ones((b, 4), jnp.float32),
+    }
+    variables = jax.jit(lambda r, bt: det.init(r, bt, "train"))(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch)
+    losses = det.apply(variables, batch, "train",
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    for k in ("loss_cls", "loss_bbox", "loss_centerness"):
+        assert np.isfinite(float(losses[k])), k
+    assert float(losses["loss_bbox"]) > 0
+    dets, labels, valid = det.apply(variables, batch, "test")
+    assert dets.shape == (b, 10, 5)
