@@ -1,3 +1,3 @@
-from .anchor_generator import AnchorGenerator
+from .anchor_generator import AnchorGenerator, SSDAnchorGenerator
 
-__all__ = ["AnchorGenerator"]
+__all__ = ["AnchorGenerator", "SSDAnchorGenerator"]

@@ -124,3 +124,51 @@ class AnchorGenerator:
     def __repr__(self):
         return (f"AnchorGenerator(strides={self.strides}, scales={self.scales.tolist()}, "
                 f"ratios={self.ratios.tolist()})")
+
+
+@PRIOR_GENERATORS.register_module()
+class SSDAnchorGenerator(AnchorGenerator):
+    """SSD anchors (reference mmdet/core/anchor/anchor_generator.py:498
+    SSDAnchorGenerator): per-level base sizes from ``basesize_ratio_range``
+    over ``input_size``; each level gets [min@1:1, sqrt(min*max)@1:1,
+    min@{r, 1/r}...] — 2 + 2*len(ratios[k]) anchors, centered at stride/2.
+    """
+
+    def __init__(self, strides, ratios, input_size=300,
+                 basesize_ratio_range=(0.15, 0.9), scale_major=False,
+                 **kwargs):
+        self.strides = [s if isinstance(s, (tuple, list)) else (s, s)
+                        for s in strides]
+        self.input_size = input_size
+        self.centers = [(s[0] / 2.0, s[1] / 2.0) for s in self.strides]
+        min_ratio, max_ratio = (int(r * 100) for r in basesize_ratio_range)
+        step = int(np.floor(max_ratio - min_ratio) / (len(strides) - 2))
+        min_sizes, max_sizes = [], []
+        for ratio in range(min_ratio, max_ratio + 1, step):
+            min_sizes.append(int(input_size * ratio / 100))
+            max_sizes.append(int(input_size * (ratio + step) / 100))
+        if basesize_ratio_range[0] == 0.15:      # SSD300 COCO convention
+            min_sizes.insert(0, int(input_size * 7 / 100))
+            max_sizes.insert(0, int(input_size * 15 / 100))
+        elif basesize_ratio_range[0] == 0.2:     # SSD300 VOC convention
+            min_sizes.insert(0, int(input_size * 10 / 100))
+            max_sizes.insert(0, int(input_size * 20 / 100))
+        self.min_sizes = min_sizes[:len(strides)]
+        self.max_sizes = max_sizes[:len(strides)]
+        self.level_ratios = [np.asarray(r, np.float32) for r in ratios]
+        self.base_anchors = self.gen_base_anchors()
+
+    def gen_base_anchors(self):
+        multi_level = []
+        for k in range(len(self.strides)):
+            mn, mx = float(self.min_sizes[k]), float(self.max_sizes[k])
+            cx, cy = self.centers[k]
+            anchors = [(mn, mn), (np.sqrt(mn * mx), np.sqrt(mn * mx))]
+            for r in self.level_ratios[k]:
+                sr = np.sqrt(r)
+                anchors.append((mn * sr, mn / sr))
+                anchors.append((mn / sr, mn * sr))
+            a = np.asarray([[cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2]
+                            for w, h in anchors], np.float32)
+            multi_level.append(a)
+        return multi_level

@@ -338,9 +338,13 @@ class _FgInfo(NamedTuple):
     boxes: jnp.ndarray       # (MAX_FG, 4)
     valid: jnp.ndarray       # (MAX_FG,)
     scores: jnp.ndarray      # (MAX_FG,)
-    best_id: jnp.ndarray     # (H, W) int32: strongest-mask box per pixel
-    cover: jnp.ndarray       # (H, W) combined coverage 1-prod(1-m_i)
-    union: jnp.ndarray       # (H, W) max_i m_i (bg_only's fg-union mask)
+    best_id: jnp.ndarray     # (H, W) int8: strongest-mask box per pixel
+    cover: jnp.ndarray       # (H, W) bf16 combined coverage 1-prod(1-m_i)
+    union: jnp.ndarray       # (H, W) bf16 max_i m_i (bg_only's fg-union)
+    # narrow dtypes: these maps are closed over by every lax.switch branch,
+    # so they cross (are materialized at) every conditional boundary — the
+    # dominant per-execution cost. int8 indexes MAX_FG=16; bf16 blend
+    # weights cost <=0.4% of one intensity level.
 
 
 def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
@@ -362,7 +366,8 @@ def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
     z = jnp.zeros((h, w))
     _, best_id, cover, union = jax.lax.fori_loop(
         0, boxes.shape[0], body, (z, jnp.zeros((h, w), jnp.int32), z, z))
-    return best_id, cover, union
+    return (best_id.astype(jnp.int8), cover.astype(jnp.bfloat16),
+            union.astype(jnp.bfloat16))
 
 
 def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
@@ -378,7 +383,7 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
     """
     h, w = img.shape[0], img.shape[1]
     c = img.shape[-1]
-    m = inv_boxes[fg.best_id]                                 # (H, W, 6)
+    m = inv_boxes[fg.best_id.astype(jnp.int32)]               # (H, W, 6)
     xo = jnp.arange(w, dtype=jnp.float32)[None, :]
     u = jnp.arange(h, dtype=jnp.float32)[:, None]
     e = jnp.where(jnp.abs(m[..., 4]) < 1e-3, 1e-3, m[..., 4])
@@ -398,7 +403,8 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
     pair_y = jnp.concatenate([tmp, shifted_y], axis=-1)
     warped = _lerp_axis(pair_y, y0.astype(jnp.int32), sy - y0, axis=0,
                         limit=h)
-    out = img * (1.0 - fg.cover[..., None]) + warped * fg.cover[..., None]
+    cov = fg.cover.astype(jnp.float32)[..., None]
+    out = img * (1.0 - cov) + warped * cov
     return jnp.clip(jnp.round(out), 0, 255)
 
 
@@ -466,9 +472,10 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     h_s, w_s = img.shape[0], img.shape[1]
 
     def _bg_blend(warp_fn, k):
-        both = jnp.concatenate([img, fg.union[..., None] * 255.0], axis=-1)
+        un = fg.union.astype(jnp.float32)
+        both = jnp.concatenate([img, un[..., None] * 255.0], axis=-1)
         warped = warp_fn(both, k)
-        maintained = jnp.maximum(fg.union, warped[..., 3] / 255.0)[..., None]
+        maintained = jnp.maximum(un, warped[..., 3] / 255.0)[..., None]
         out = maintained * img + (1.0 - maintained) * warped[..., :3]
         return jnp.clip(jnp.round(out), 0, 255)
 

@@ -187,3 +187,103 @@ def test_atss_detector_train_and_test():
     assert float(losses["loss_bbox"]) > 0
     dets, labels, valid = det.apply(variables, batch, "test")
     assert dets.shape == (b, 10, 5)
+
+
+def test_swin_backbone_shapes():
+    from oadg_tpu.models.backbones.swin import SwinTransformer
+    m = SwinTransformer(embed_dims=24, depths=(1, 1, 2, 1),
+                        num_heads=(2, 2, 4, 4), window_size=4)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 24, 24), (1, 8, 12, 48), (1, 4, 6, 96), (1, 2, 3, 192)]
+
+
+def test_swin_shifted_window_mask():
+    from oadg_tpu.models.backbones.swin import _shift_attn_mask
+    m = _shift_attn_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    # the top-left window is unshifted -> no masking
+    assert (m[0] == 0).all()
+    # shifted windows must mask some cross-region pairs
+    assert (m[-1] == -100.0).any()
+
+
+def test_mobilenet_v2_shapes():
+    from oadg_tpu.models.backbones.mobilenet_v2 import MobileNetV2
+    m = MobileNetV2(out_indices=(1, 2, 4, 7))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    # reference layer indexing: 1->24ch/8x, 2->32ch/16x, 4->96ch/16x(s1 stage),
+    # 7->final 1280 1x1 conv at 32x
+    assert [o.shape[-1] for o in outs] == [24, 32, 96, 1280]
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+
+def test_ssd_vgg_pyramid_shapes():
+    from oadg_tpu.models.backbones.ssd_vgg import SSDVGG
+    m = SSDVGG(input_size=300)
+    x = jnp.zeros((1, 300, 300, 3))
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    # SSD300 pyramid: 38, 19, 10, 5, 3, 1 (ceil-mode pooling)
+    assert [o.shape[1] for o in outs] == [38, 19, 10, 5, 3, 1]
+    assert [o.shape[-1] for o in outs] == [512, 1024, 512, 256, 256, 256]
+
+
+def test_ssd_anchor_counts():
+    from oadg_tpu.core.anchor import SSDAnchorGenerator
+    g = SSDAnchorGenerator(
+        strides=[8, 16, 32, 64, 100, 300],
+        ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]],
+        input_size=300, basesize_ratio_range=(0.15, 0.9))
+    assert g.num_base_anchors == [4, 6, 6, 6, 4, 4]
+    # first level: min size 21 (300*7/100)
+    a = g.base_anchors[0][0]
+    assert abs((a[2] - a[0]) - 21) < 1e-4
+
+
+def test_ssd_detector_train_and_test():
+    from oadg_tpu.models import build_detector
+    model = dict(
+        type="SSD",
+        backbone=dict(type="SSDVGG", input_size=300),
+        neck=None,
+        bbox_head=dict(
+            type="SSDHead", num_classes=3,
+            in_channels=(512, 1024, 512, 256, 256, 256),
+            anchor_generator=dict(
+                type="SSDAnchorGenerator", input_size=300,
+                basesize_ratio_range=(0.15, 0.9),
+                strides=[8, 16, 32, 64, 100, 300],
+                ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]])))
+    train_cfg = dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                   min_pos_iou=0.0, gt_max_assign_all=False),
+                     neg_pos_ratio=3, smoothl1_beta=1.0)
+    test_cfg = dict(score_thr=0.02, nms=dict(iou_threshold=0.45),
+                    max_per_img=20)
+    det = build_detector(model, train_cfg, test_cfg)
+    rng = np.random.RandomState(0)
+    b = 1
+    batch = {
+        "img": jnp.asarray(rng.randn(b, 300, 300, 3).astype(np.float32)),
+        "img_shape": jnp.asarray([[300, 300]] * b, jnp.float32),
+        "gt_bboxes": jnp.asarray(
+            np.stack([[[30, 30, 120, 120], [150, 60, 280, 260]]] * b)
+            .astype(np.float32)),
+        "gt_labels": jnp.asarray(np.stack([[0, 2]] * b)),
+        "gt_valid": jnp.ones((b, 2), bool),
+        "scale_factor": jnp.ones((b, 4), jnp.float32),
+    }
+    variables = jax.jit(lambda r, bt: det.init(r, bt, "train"))(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch)
+    losses = det.apply(variables, batch, "train",
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(losses["loss_cls"]))
+    assert np.isfinite(float(losses["loss_bbox"]))
+    assert float(losses["loss_bbox"]) > 0
+    dets, labels, valid = det.apply(variables, batch, "test")
+    assert dets.shape == (b, 20, 5)
