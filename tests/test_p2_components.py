@@ -287,3 +287,69 @@ def test_ssd_detector_train_and_test():
     assert float(losses["loss_bbox"]) > 0
     dets, labels, valid = det.apply(variables, batch, "test")
     assert dets.shape == (b, 20, 5)
+
+
+def test_hungarian_assigner_exact():
+    from oadg_tpu.core.bbox.hungarian import HungarianAssigner
+    # 3 queries, 2 gts; query0 perfectly predicts gt1, query2 predicts gt0
+    prob = jnp.asarray([[0.0, 0.9, 0.1], [0.3, 0.3, 0.4], [0.9, 0.0, 0.1]])
+    boxes = jnp.asarray([[0.7, 0.7, 0.2, 0.2],      # ~gt1
+                         [0.5, 0.5, 0.9, 0.9],
+                         [0.2, 0.2, 0.2, 0.2]])     # ~gt0
+    gt = jnp.asarray([[10.0, 10.0, 30.0, 30.0],     # label 0
+                      [60.0, 60.0, 80.0, 80.0],     # label 1
+                      [0.0, 0.0, 0.0, 0.0]])
+    gtv = jnp.asarray([True, True, False])
+    gtl = jnp.asarray([0, 1, 0])
+    a = HungarianAssigner().assign(prob, boxes, gt, gtv, gtl,
+                                   jnp.asarray([100.0, 100.0]))
+    a = np.asarray(a)
+    assert a[0] == 2 and a[2] == 1        # one-to-one, padded gt unmatched
+    assert (a > 0).sum() == 2
+
+
+def test_detr_train_and_test():
+    from oadg_tpu.models import build_detector
+    model = dict(
+        type="DETR",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(3,), norm_cfg=dict(type="BN"),
+                      base_channels=16),
+        bbox_head=dict(type="DETRHead", num_classes=3, in_channels=128,
+                       num_query=12, embed_dims=32, num_heads=4,
+                       num_encoder_layers=2, num_decoder_layers=2,
+                       feedforward_channels=64))
+    det = build_detector(model, None, dict(max_per_img=10))
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 64, 96
+    batch = {
+        "img": jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)),
+        "img_shape": jnp.asarray([[h, w]] * b, jnp.float32),
+        "gt_bboxes": jnp.asarray(
+            np.stack([[[8, 8, 40, 40], [50, 20, 80, 56]]] * b)
+            .astype(np.float32)),
+        "gt_labels": jnp.asarray(np.stack([[0, 2]] * b)),
+        "gt_valid": jnp.ones((b, 2), bool),
+        "scale_factor": jnp.ones((b, 4), jnp.float32),
+    }
+    variables = det.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch, "train")
+    losses = det.apply(variables, batch, "train")
+    # final + 1 aux decoder layer, each with cls/bbox/iou
+    assert {"loss_cls", "loss_bbox", "loss_iou", "d0.loss_cls"} <= set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(losses["loss_iou"]) > 0
+    dets, labels, valid = det.apply(variables, batch, "test")
+    assert dets.shape == (b, 10, 5)
+
+    # gradients flow through the Hungarian targets (matching itself is
+    # non-differentiable and runs via pure_callback; losses still grad)
+    def total(p):
+        ls = det.apply({**variables, "params": p}, batch, "train")
+        return sum(v for v in ls.values())
+
+    g = jax.grad(total)(variables["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
