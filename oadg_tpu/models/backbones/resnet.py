@@ -227,3 +227,91 @@ class ResNeXt(ResNet):
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+class Bottle2neck(nn.Module):
+    """Res2Net multi-scale bottleneck (reference
+    mmdet/models/backbones/res2net.py:14): the 3x3 is split into
+    ``scales - 1`` sequential sub-convs over width-wise chunks, each fed the
+    previous chunk's output (hierarchical residual-like connections)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    style: str = "pytorch"
+    norm_cfg: Optional[dict] = None
+    scales: int = 4
+    base_width: int = 26
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        width = int(self.planes * (self.base_width / 64.0))
+        s1, s2 = (self.stride, 1) if self.style == "caffe" else (1, self.stride)
+        identity = x
+        out = Conv(width * self.scales, 1, s1, 0, use_bias=False,
+                   dtype=self.dtype, name="conv1")(x)
+        out = norm()(out)
+        out = nn.relu(out)
+        chunks = jnp.split(out, self.scales, axis=-1)
+        sp_outs = []
+        sp = None
+        for k in range(self.scales - 1):
+            inp = chunks[k] if (k == 0 or s2 != 1) else sp + chunks[k]
+            sp = Conv(width, 3, s2, self.dilation, dilation=self.dilation,
+                      use_bias=False, dtype=self.dtype, name=f"conv2_{k}")(inp)
+            sp = nn.relu(norm()(sp))
+            sp_outs.append(sp)
+        last = chunks[-1]
+        if s2 != 1:
+            # stage-downsampling blocks avg-pool the untouched chunk
+            last = nn.avg_pool(last, (3, 3), strides=(s2, s2),
+                               padding=[(1, 1), (1, 1)])
+        out = jnp.concatenate(sp_outs + [last], axis=-1)
+        out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, dtype=self.dtype,
+                   name="conv3")(out)
+        out = norm()(out)
+        if self.downsample:
+            identity = nn.avg_pool(x, (self.stride, self.stride),
+                                   strides=(self.stride, self.stride)) \
+                if self.stride != 1 else x
+            identity = Conv(self.planes * 4, 1, 1, 0, use_bias=False,
+                            dtype=self.dtype, name="downsample_conv")(identity)
+            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+@BACKBONES.register_module()
+class Res2Net(ResNet):
+    """Res2Net (reference mmdet/models/backbones/res2net.py:240): deep stem +
+    avg-down + Bottle2neck; config adds ``scales`` and ``base_width``."""
+    scales: int = 4
+    base_width: int = 26
+    deep_stem: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        _, stage_blocks = ARCH[self.depth]
+        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        for i, s in enumerate((2, 1, 1)):
+            x = Conv(self.stem_channels // (2 if i < 2 else 1), 3, s, 1,
+                     use_bias=False, dtype=self.dtype,
+                     name=f"stem_conv{i+1}")(x)
+            x = norm()(x)
+            x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+        outs = []
+        for i in range(self.num_stages):
+            planes = self.base_channels * 2 ** i
+            for j in range(stage_blocks[i]):
+                stride = self.strides[i] if j == 0 else 1
+                downsample = j == 0 and (stride != 1 or
+                                         x.shape[-1] != planes * 4)
+                x = Bottle2neck(planes, stride, self.dilations[i], downsample,
+                                self.style, self.norm_cfg or dict(type="BN"),
+                                self.scales, self.base_width, self.dtype,
+                                name=f"layer{i+1}_{j}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -349,25 +349,38 @@ class _FgInfo(NamedTuple):
 
 def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
     """Per-image mask maps shared by every aug call (the boxes never change
-    within a view, so this runs once, not 27x)."""
-    def body(i, carry):
-        best_mask, best_id, cover, union = carry
-        small = ((boxes[i, 2] - boxes[i, 0]) < 1) | \
-                ((boxes[i, 3] - boxes[i, 1]) < 1)
-        m = _blurred_box_mask(boxes[i], h, w, sigma_ratio)
-        m = jnp.where(valid[i] & ~small, m, 0.0)
-        better = m > best_mask
-        best_id = jnp.where(better, i, best_id)
-        best_mask = jnp.maximum(best_mask, m)
-        cover = cover + m - cover * m
-        union = jnp.maximum(union, m)
-        return best_mask, best_id, cover, union
+    within a view, so this runs once, not 27x).
 
-    z = jnp.zeros((h, w))
-    _, best_id, cover, union = jax.lax.fori_loop(
-        0, boxes.shape[0], body, (z, jnp.zeros((h, w), jnp.int32), z, z))
-    return (best_id.astype(jnp.int8), cover.astype(jnp.bfloat16),
-            union.astype(jnp.bfloat16))
+    The blurred box masks are separable: per box only the 1-D x/y profiles
+    are computed (G x W + G x H erf evaluations — trivial), and the three
+    full-res maps come from ONE fused broadcast-reduce over the box axis.
+    (A fori_loop carrying four (H, W) buffers measured 130 ms/image — each
+    iteration re-materialized every carry; this form is ~20x faster.)
+    """
+    g = boxes.shape[0]
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+
+    def profiles(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        sx = jnp.maximum((x2 - x1) * sigma_ratio * 2.0 / 3.0, 1e-3)
+        sy = jnp.maximum((y2 - y1) * sigma_ratio * 2.0 / 3.0, 1e-3)
+        fx = (_box_blur_1d(xs, x1, x2, sx)
+              + _box_blur_1d(-xs, x1, x2, sx)
+              + _box_blur_1d(2.0 * w - xs, x1, x2, sx))
+        fy = (_box_blur_1d(ys, y1, y2, sy)
+              + _box_blur_1d(-ys, y1, y2, sy)
+              + _box_blur_1d(2.0 * h - ys, y1, y2, sy))
+        return fx, fy
+
+    fx, fy = jax.vmap(profiles)(boxes)                    # (G, W), (G, H)
+    small = ((boxes[:, 2] - boxes[:, 0]) < 1) | \
+            ((boxes[:, 3] - boxes[:, 1]) < 1)
+    gate = (valid & ~small).astype(jnp.float32)           # (G,)
+    fyg = jnp.clip(fy, 0.0, 1.0) * gate[:, None]
+    fxg = jnp.clip(fx, 0.0, 1.0)
+    from .pallas_fg import fg_maps
+    return fg_maps(fxg, fyg, h, w)
 
 
 def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
