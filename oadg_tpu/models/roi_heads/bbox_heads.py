@@ -205,3 +205,65 @@ class BBoxHead(Shared2FCBBoxHead):
     """Plain BBoxHead (no shared FCs; avg-pooled features straight to the
     linear cls/reg, reference bbox_head.py)."""
     num_shared_fcs: int = 0
+
+
+@HEADS.register_module()
+class DoubleConvFCBBoxHead(Shared2FCBBoxHead):
+    """Double-Head R-CNN box head (reference
+    mmdet/models/roi_heads/bbox_heads/double_bbox_head.py:51): a conv
+    branch (residual bottlenecks + global pool) for regression and an FC
+    branch for classification."""
+    num_convs: int = 4
+    num_fcs: int = 2
+
+    def setup(self):
+        from ..layers import Conv, FrozenBN
+        self.coder = _coder_from_cfg(self.bbox_coder)
+        self.cls_loss = build_from_cfg(dict(self.loss_cls or dict(
+            type="CrossEntropyLoss", loss_weight=1.0)), LOSSES)
+        self.reg_loss = build_from_cfg(dict(self.loss_bbox or dict(
+            type="SmoothL1Loss", beta=1.0, loss_weight=1.0)), LOSSES)
+        self.res_convs = []
+        convs = []
+        for i in range(self.num_convs):
+            convs.append((
+                Conv(self.conv_out_channels // 4, 1, 1, 0, use_bias=False,
+                     dtype=self.dtype, name=f"res{i}_conv1"),
+                Conv(self.conv_out_channels // 4, 3, 1, 1, use_bias=False,
+                     dtype=self.dtype, name=f"res{i}_conv2"),
+                Conv(self.conv_out_channels, 1, 1, 0, use_bias=False,
+                     dtype=self.dtype, name=f"res{i}_conv3"),
+            ))
+        self.res_convs = convs
+        self.conv_in = Conv(self.conv_out_channels, 1, 1, 0,
+                            dtype=self.dtype, name="conv_in")
+        self.fcs = [nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                             name=f"fc{i}") for i in range(self.num_fcs)]
+        self.fc_cls = nn.Dense(self.num_classes + 1, dtype=self.dtype)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        self.fc_reg = nn.Dense(reg_dim, dtype=self.dtype)
+
+    def __call__(self, roi_feats):
+        # reg branch: conv bottlenecks + global average pool
+        x = self.conv_in(roi_feats)
+        for c1, c2, c3 in self.res_convs:
+            y = nn.relu(c1(x))
+            y = nn.relu(c2(y))
+            y = c3(y)
+            x = nn.relu(x + y)
+        reg_feat = jnp.mean(x, axis=(1, 2))
+        bbox_pred = self.fc_reg(reg_feat)
+        # cls branch: flatten + fcs
+        f = roi_feats.reshape(roi_feats.shape[0], -1)
+        for fc in self.fcs:
+            f = nn.relu(fc(f))
+        cls_score = self.fc_cls(f)
+        return cls_score, bbox_pred, None
+
+
+@HEADS.register_module()
+class Shared2FCBBoxHeadDropout(Shared2FCBBoxHead):
+    """Dropout variant (reference convfc_bbox_head_dropout.py) — dropout is
+    inert in the frozen-stats/inference-style forward used here; registered
+    for config compatibility."""
+    dropout_rate: float = 0.5

@@ -296,3 +296,12 @@ class ContrastiveRoIHead(StandardRoIHead):
             losses["loss_cont"] = cont_loss(
                 all_feats.astype(jnp.float32), all_labels, all_valid, layout)
         return losses
+
+
+@HEADS.register_module()
+class DoubleHeadRoIHead(StandardRoIHead):
+    """Double-Head R-CNN (reference
+    mmdet/models/roi_heads/double_roi_head.py:8): StandardRoIHead with the
+    DoubleConvFCBBoxHead; branch loss weighting folds into the head's
+    loss_cls/loss_bbox weights."""
+    pass

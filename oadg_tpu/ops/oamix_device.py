@@ -589,6 +589,10 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     n_slots = MAX_ML + 1
     k_ops, k_calls = jax.random.split(keys[2])
     op_draw = jax.random.randint(k_ops, (width, max_depth, n_slots), 0, n_ops)
+    import os as _os
+    _force = _os.environ.get("OAMIX_FORCE_OP")
+    if _force is not None:                       # debug/profiling knob
+        op_draw = jnp.full_like(op_draw, int(_force))
     call_keys = jax.random.split(k_calls, width * max_depth * n_slots)
     call_keys = call_keys.reshape(width, max_depth, n_slots, -1)
 

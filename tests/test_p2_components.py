@@ -353,3 +353,108 @@ def test_detr_train_and_test():
     g = jax.grad(total)(variables["params"])
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_double_head_rcnn():
+    from oadg_tpu.models import build_detector
+    model = dict(
+        type="FasterRCNN",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), norm_cfg=dict(type="BN"),
+                      base_channels=16),
+        neck=dict(type="FPN", in_channels=[16, 32, 64, 128], out_channels=32,
+                  num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      anchor_generator=dict(scales=[4], ratios=[1.0],
+                                            strides=[4, 8, 16, 32, 64])),
+        roi_head=dict(
+            type="DoubleHeadRoIHead",
+            bbox_roi_extractor=dict(roi_layer=dict(output_size=7),
+                                    featmap_strides=[4, 8, 16, 32]),
+            bbox_head=dict(type="DoubleConvFCBBoxHead", in_channels=32,
+                           conv_out_channels=32, fc_out_channels=64,
+                           num_convs=2, num_fcs=1, num_classes=3,
+                           roi_feat_size=7)))
+    train_cfg = dict(
+        rpn=dict(assigner=dict(pos_iou_thr=0.7, neg_iou_thr=0.3,
+                               min_pos_iou=0.3),
+                 sampler=dict(num=32, pos_fraction=0.5),
+                 allowed_border=-1, pos_weight=-1),
+        rpn_proposal=dict(nms_pre=64, max_per_img=32,
+                          nms=dict(iou_threshold=0.7), min_bbox_size=0),
+        rcnn=dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                min_pos_iou=0.5, match_low_quality=False),
+                  sampler=dict(num=32, pos_fraction=0.25), pos_weight=-1))
+    test_cfg = dict(
+        rpn=dict(nms_pre=64, max_per_img=32, nms=dict(iou_threshold=0.7),
+                 min_bbox_size=0),
+        rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5), max_per_img=8))
+    det = build_detector(model, train_cfg, test_cfg)
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 64, 96
+    batch = {
+        "img": jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)),
+        "img_shape": jnp.asarray([[h, w]] * b, jnp.float32),
+        "gt_bboxes": jnp.asarray(
+            np.stack([[[8, 8, 40, 40], [50, 20, 80, 56]]] * b)
+            .astype(np.float32)),
+        "gt_labels": jnp.asarray(np.stack([[0, 2]] * b)),
+        "gt_valid": jnp.ones((b, 2), bool),
+        "scale_factor": jnp.ones((b, 4), jnp.float32),
+    }
+    variables = jax.jit(lambda r, bt: det.init(r, bt, "train"))(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch)
+    losses = det.apply(variables, batch, "train",
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(losses["loss_cls"]))
+    assert np.isfinite(float(losses["loss_bbox"]))
+    dets, labels, valid = det.apply(variables, batch, "test")
+    assert dets.shape == (b, 8, 5)
+
+
+def test_regnet_shapes():
+    from oadg_tpu.models.backbones.regnet import RegNet
+    m = RegNet(arch=dict(w0=24, wa=24.48, wm=2.54, group_w=16, depth=8))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert len(outs) >= 3
+    # strides 4, 8, ... from a stride-2 stem + stride-2 stages
+    assert outs[0].shape[1] == 16 and outs[1].shape[1] == 8
+    # widths are multiples of the group width (16)
+    assert all(o.shape[-1] % 8 == 0 for o in outs)
+
+
+def test_models_utils_surface():
+    from oadg_tpu.models.utils import (NormedLinear, ResLayer, SELayer,
+                                       gaussian_radius, gen_gaussian_target,
+                                       interpolate_as)
+    # NormedLinear: output invariant to input scale
+    m = NormedLinear(4, tempearture=10.0)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.ones((2, 8)))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8), jnp.float32)
+    y1 = m.apply(v, x)
+    y2 = m.apply(v, x * 100.0)
+    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-3)
+
+    se = SELayer(ratio=4)
+    v = jax.jit(se.init)(jax.random.PRNGKey(0), jnp.ones((1, 4, 4, 8)))
+    out = se.apply(v, jnp.ones((1, 4, 4, 8)))
+    assert out.shape == (1, 4, 4, 8)
+
+    r = float(gaussian_radius((10.0, 10.0), 0.7))
+    assert 0 < r < 10
+
+    hm = gen_gaussian_target(jnp.zeros((16, 16)), (8.0, 8.0), 3.0)
+    assert abs(float(hm[8, 8]) - 1.0) < 1e-5
+    assert float(hm[0, 0]) < 0.01
+
+    src = jnp.ones((1, 4, 4, 2))
+    tgt = jnp.zeros((1, 8, 8, 2))
+    assert interpolate_as(src, tgt).shape == (1, 8, 8, 2)
+
+    rl = ResLayer(depth=18, stage=3, stride=2)
+    v = jax.jit(rl.init)(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 256)))
+    out = rl.apply(v, jnp.ones((1, 8, 8, 256)))
+    assert out.shape == (1, 4, 4, 512)
