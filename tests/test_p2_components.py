@@ -458,3 +458,37 @@ def test_models_utils_surface():
     v = jax.jit(rl.init)(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 256)))
     out = rl.apply(v, jnp.ones((1, 8, 8, 256)))
     assert out.shape == (1, 4, 4, 512)
+
+
+def test_centernet_train_and_test():
+    from oadg_tpu.models import build_detector
+    model = dict(
+        type="CenterNet",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(1,), norm_cfg=dict(type="BN"),
+                      base_channels=16),
+        bbox_head=dict(type="CenterNetHead", num_classes=3, in_channels=32,
+                       feat_channels=32, stride=8))
+    det = build_detector(model, None, dict(max_per_img=16))
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 64, 96
+    batch = {
+        "img": jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)),
+        "img_shape": jnp.asarray([[h, w]] * b, jnp.float32),
+        "gt_bboxes": jnp.asarray(
+            np.stack([[[8, 8, 40, 40], [50, 20, 80, 56]]] * b)
+            .astype(np.float32)),
+        "gt_labels": jnp.asarray(np.stack([[0, 2]] * b)),
+        "gt_valid": jnp.ones((b, 2), bool),
+        "scale_factor": jnp.ones((b, 4), jnp.float32),
+    }
+    variables = jax.jit(lambda r, bt: det.init(r, bt, "train"))(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch)
+    losses = det.apply(variables, batch, "train",
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    for k in ("loss_center_heatmap", "loss_wh", "loss_offset"):
+        assert np.isfinite(float(losses[k])), k
+        assert float(losses[k]) > 0, k
+    dets, labels, valid = det.apply(variables, batch, "test")
+    assert dets.shape == (b, 16, 5)
