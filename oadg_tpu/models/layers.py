@@ -125,6 +125,69 @@ class ConvModule(nn.Module):
         return x
 
 
+class DeformConv(nn.Module):
+    """DCNv1 layer with externally supplied offsets (mmcv DeformConv2d;
+    offsets layout (dy, dx) per tap — see ops/deform_conv.py). Used by
+    RepPoints / VFNet star-dcn / guided-anchor feature adaptation."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    deform_groups: int = 1
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, offset):
+        from ..ops.deform_conv import deform_conv2d
+        k = _pair(self.kernel_size)
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (k[0], k[1], x.shape[-1], self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return deform_conv2d(x, offset, w.astype(x.dtype),
+                             stride=self.stride, padding=self.padding,
+                             dilation=self.dilation,
+                             deform_groups=self.deform_groups, bias=b)
+
+
+class ModulatedDeformConv(nn.Module):
+    """DCNv2 layer that predicts its own offsets+mask from the input
+    (mmcv ModulatedDeformConv2dPack — the `dcn=dict(type='DCNv2')` form
+    used inside backbones)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    deform_groups: int = 1
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.deform_conv import modulated_deform_conv2d
+        k = _pair(self.kernel_size)
+        nk = k[0] * k[1] * self.deform_groups
+        # conv_offset initialized to zero like mmcv (identity start)
+        om = Conv(3 * nk, self.kernel_size, self.stride, self.padding,
+                  self.dilation, use_bias=True, dtype=self.dtype,
+                  name="conv_offset")(x)
+        om = om.astype(jnp.float32)
+        off, mask = om[..., :2 * nk], jax.nn.sigmoid(om[..., 2 * nk:])
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (k[0], k[1], x.shape[-1], self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return modulated_deform_conv2d(x, off, mask, w.astype(x.dtype),
+                                       stride=self.stride,
+                                       padding=self.padding,
+                                       dilation=self.dilation,
+                                       deform_groups=self.deform_groups,
+                                       bias=b)
+
+
 def max_pool_3x3_s2(x):
     """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
     return jax.lax.reduce_window(
