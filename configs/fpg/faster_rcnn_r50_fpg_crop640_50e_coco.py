@@ -1,0 +1,57 @@
+# FPG (reference configs/fpg schema).
+_base_ = [
+    '/ws/external/configs/_base_/datasets/cityscapes_detection.py',
+    '/ws/external/configs/_base_/default_runtime.py',
+]
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0001)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
+                 warmup_ratio=0.001, step=[8, 11])
+runner = dict(type='EpochBasedRunner', max_epochs=12)
+
+model = dict(
+    type='FasterRCNN',
+    backbone=dict(
+        type='ResNet', depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+        frozen_stages=1, norm_cfg=dict(type='BN', requires_grad=True),
+        norm_eval=True, style='pytorch'),
+    neck=dict(type='FPG', in_channels=[256, 512, 1024, 2048],
+              out_channels=256, inter_channels=256, num_outs=5,
+              stack_times=9),
+    rpn_head=dict(
+        type='RPNHead', in_channels=256, feat_channels=256,
+        anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=[4, 8, 16, 32, 64]),
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=[.0, .0, .0, .0],
+                        target_stds=[1.0, 1.0, 1.0, 1.0])),
+    roi_head=dict(
+        type='StandardRoIHead',
+        bbox_roi_extractor=dict(
+            type='SingleRoIExtractor',
+            roi_layer=dict(type='RoIAlign', output_size=7, sampling_ratio=0),
+            out_channels=256, featmap_strides=[4, 8, 16, 32]),
+        bbox_head=dict(type='Shared2FCBBoxHead', in_channels=256,
+                       fc_out_channels=1024, num_classes=80,
+                       bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                       target_means=[0., 0., 0., 0.],
+                                       target_stds=[0.1, 0.1, 0.2, 0.2]))),
+    train_cfg=dict(
+        rpn=dict(assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                               neg_iou_thr=0.3, min_pos_iou=0.3),
+                 sampler=dict(type='RandomSampler', num=256,
+                              pos_fraction=0.5)),
+        rpn_proposal=dict(nms_pre=2000, max_per_img=1000,
+                          nms=dict(type='nms', iou_threshold=0.7)),
+        rcnn=dict(assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                                neg_iou_thr=0.5, min_pos_iou=0.5,
+                                match_low_quality=False),
+                  sampler=dict(type='RandomSampler', num=512,
+                               pos_fraction=0.25), mask_size=28,
+                  pos_weight=-1)),
+    test_cfg=dict(
+        rpn=dict(nms_pre=1000, max_per_img=1000,
+                 nms=dict(type='nms', iou_threshold=0.7)),
+        rcnn=dict(score_thr=0.05, nms=dict(type='nms', iou_threshold=0.5),
+                  max_per_img=100)))

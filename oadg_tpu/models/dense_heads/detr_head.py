@@ -153,11 +153,18 @@ class DETR(nn.Module):
     dtype: Any = None
 
     def setup(self):
-        from ...utils.registry import BACKBONES, build_from_cfg
+        from ...utils.registry import BACKBONES, NECKS, build_from_cfg
         bb = dict(self.backbone)
         bb_type = bb.pop("type", "ResNet")
         self.backbone_m = build_from_cfg(dict(type=bb_type, **bb,
                                               dtype=self.dtype), BACKBONES)
+        if self.neck is not None:
+            nk = dict(self.neck)
+            nk_type = nk.pop("type", "ChannelMapper")
+            self.neck_m = build_from_cfg(dict(type=nk_type, **nk,
+                                              dtype=self.dtype), NECKS)
+        else:
+            self.neck_m = None
         bh = dict(self.bbox_head)
         bh_type = bh.pop("type", "DETRHead")
         from ...utils.registry import HEADS as _HEADS
@@ -167,6 +174,8 @@ class DETR(nn.Module):
 
     def __call__(self, batch, mode: str = "train"):
         feats = self.backbone_m(batch["img"])
+        if self.neck_m is not None:
+            feats = self.neck_m(feats)
         outs = self.head(feats)
         if mode == "train":
             return self.head.loss(outs, batch["gt_bboxes"],

@@ -32,9 +32,10 @@ class CascadeRoIHead(nn.Module):
     dtype: Any = None
 
     def setup(self):
+        from collections.abc import Mapping
         heads_cfg = self.bbox_head
-        if isinstance(heads_cfg, dict):
-            heads_cfg = [heads_cfg] * self.num_stages
+        if heads_cfg is None or isinstance(heads_cfg, Mapping):
+            heads_cfg = [heads_cfg or {}] * self.num_stages
         self.heads = [
             build_from_cfg(dict(type=dict(h).get("type", "Shared2FCBBoxHead"),
                                 **{k: v for k, v in dict(h).items()
@@ -56,7 +57,8 @@ class CascadeRoIHead(nn.Module):
                         sampler=dict(num=512, pos_fraction=0.25,
                                      add_gt_as_proposals=True))
                    for t in (0.5, 0.6, 0.7)]
-        if isinstance(tcs, dict):
+        from collections.abc import Mapping as _Mapping
+        if isinstance(tcs, _Mapping):
             tcs = [tcs] * self.num_stages
         assigners, samplers, add_gt = [], [], []
         for tc in tcs:

@@ -1,0 +1,135 @@
+"""P2 model-zoo train/decode smoke tests (house style of the reference's
+tests/test_models/test_forward.py: build from cfg, forward_train with tiny
+fake batches, forward_test).
+
+Each case is compile-heavy (~1-4 min on the 1-vCPU host), so the full sweep
+is opt-in: ``OADG_ZOO_TESTS=1 pytest tests/test_p2_zoo.py``. A single
+representative case (FSAF) always runs to keep the wiring covered in the
+default suite. The same drives were exercised on the real TPU chip via the
+.drive scripts during development.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from oadg_tpu.models import build_detector
+
+BB18 = dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3))
+FPN16 = dict(type="FPN", in_channels=[64, 128, 256, 512], out_channels=16,
+             num_outs=5)
+RPN16 = dict(type="RPNHead", in_channels=16, feat_channels=16)
+TRAIN2 = dict(
+    rpn=dict(assigner=dict(pos_iou_thr=0.7, neg_iou_thr=0.3,
+                           min_pos_iou=0.3),
+             sampler=dict(num=64, pos_fraction=0.5)),
+    rpn_proposal=dict(nms_pre=100, max_per_img=50,
+                      nms=dict(iou_threshold=0.7)),
+    rcnn=dict(assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                            min_pos_iou=0.5),
+              sampler=dict(num=32, pos_fraction=0.25), mask_size=14))
+TEST2 = dict(rpn=dict(nms_pre=100, max_per_img=50,
+                      nms=dict(iou_threshold=0.7)),
+             rcnn=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                       max_per_img=10))
+SINGLE_TEST = dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                   max_per_img=20)
+
+
+def _single(head, **kw):
+    t = kw.pop("detector", "RetinaNet")
+    return dict(type=t, backbone=BB18, neck=dict(FPN16, start_level=1,
+                                                 add_extra_convs="on_input"),
+                bbox_head=dict(head, num_classes=8, in_channels=16,
+                               feat_channels=16, **kw))
+
+
+CASES = {
+    "fsaf": (_single(dict(type="FSAFHead", stacked_convs=1),
+                     detector="FSAF"), None, SINGLE_TEST),
+    "fovea": (_single(dict(type="FoveaHead", stacked_convs=1),
+                      detector="FOVEA"), None, SINGLE_TEST),
+    "free_anchor": (_single(dict(type="FreeAnchorRetinaHead",
+                                 stacked_convs=1, pre_anchor_topk=8)),
+                    None, SINGLE_TEST),
+    "pisa_retina": (_single(dict(type="PISARetinaHead", stacked_convs=1)),
+                    None, SINGLE_TEST),
+    "autoassign": (_single(dict(type="AutoAssignHead", stacked_convs=1),
+                           detector="AutoAssign"), None, SINGLE_TEST),
+    "sabl": (_single(dict(type="SABLRetinaHead", stacked_convs=1,
+                          num_buckets=7)), None, SINGLE_TEST),
+    "vfnet": (_single(dict(type="VFNetHead", stacked_convs=1),
+                      detector="VFNet"), None, SINGLE_TEST),
+    "reppoints": (_single(dict(type="RepPointsHead", stacked_convs=1,
+                               point_feat_channels=16),
+                          detector="RepPointsDetector"), None, SINGLE_TEST),
+    "tood": (_single(dict(type="TOODHead", stacked_convs=2),
+                     detector="TOOD"), None, SINGLE_TEST),
+    "paa": (_single(dict(type="PAAHead", stacked_convs=1, topk=4),
+                    detector="PAA"), None, SINGLE_TEST),
+    "dynamic_rcnn": (dict(
+        type="DynamicRCNN", backbone=BB18, neck=FPN16, rpn_head=RPN16,
+        roi_head=dict(type="DynamicRoIHead",
+                      bbox_head=dict(type="Shared2FCBBoxHead", num_classes=8,
+                                     fc_out_channels=32, in_channels=16),
+                      bbox_roi_extractor=dict(
+                          roi_layer=dict(output_size=7),
+                          featmap_strides=(4, 8, 16, 32)))), TRAIN2, TEST2),
+    "sparse_rcnn": (dict(
+        type="SparseRCNN", backbone=BB18,
+        neck=dict(FPN16, num_outs=4),
+        rpn_head=dict(type="EmbeddingRPNHead", num_proposals=20,
+                      proposal_feature_channel=16),
+        roi_head=dict(type="SparseRoIHead", num_stages=2,
+                      stage_loss_weights=[1.0, 1.0],
+                      proposal_feature_channel=16,
+                      bbox_head=dict(num_classes=8, feat_channels=16,
+                                     dim_feedforward=32, num_heads=2,
+                                     dynamic_dim=8),
+                      bbox_roi_extractor=dict(
+                          roi_layer=dict(output_size=7),
+                          featmap_strides=(4, 8, 16, 32)))), None,
+        dict(max_per_img=10)),
+    "solo": (dict(type="SOLO", backbone=BB18, neck=FPN16,
+                  bbox_head=dict(type="SOLOHead", num_classes=8,
+                                 in_channels=16, feat_channels=16,
+                                 stacked_convs=1,
+                                 num_grids=(12, 9, 8, 6, 4))), None,
+             dict(score_thr=0.1, max_per_img=10)),
+    "yolact": (dict(type="YOLACT", backbone=BB18, neck=FPN16,
+                    bbox_head=dict(type="YOLACTHead", num_classes=8,
+                                   in_channels=16, feat_channels=16,
+                                   num_protos=8)), None, SINGLE_TEST),
+}
+
+DEFAULT_CASES = ["fsaf"]
+RUN_ALL = os.environ.get("OADG_ZOO_TESTS") == "1"
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_zoo_train_and_decode(name):
+    if not RUN_ALL and name not in DEFAULT_CASES:
+        pytest.skip("set OADG_ZOO_TESTS=1 for the full zoo sweep")
+    cfg, train_cfg, test_cfg = CASES[name]
+    det = build_detector(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
+    img = jnp.zeros((2, 64, 96, 3))
+    gt = jnp.asarray(np.array([[[2., 2., 50., 50.],
+                                [10., 10., 30., 40.]]] * 2))
+    batch = dict(img=img, gt_bboxes=gt, gt_valid=jnp.ones((2, 2), bool),
+                 gt_labels=jnp.zeros((2, 2), jnp.int32),
+                 img_shape=jnp.asarray([[64., 96.]] * 2),
+                 scale_factor=jnp.ones((2, 4)),
+                 gt_masks=jnp.ones((2, 2, 28, 28), jnp.float32))
+    var = jax.jit(lambda b: det.init(
+        {"params": jr.PRNGKey(0), "sampling": jr.PRNGKey(1)}, b))(batch)
+    losses = det.apply(var, batch, mode="train",
+                       rngs={"sampling": jr.PRNGKey(2)})
+    for k, v in losses.items():
+        assert bool(jnp.all(jnp.isfinite(v))), (name, k, v)
+    dets = det.apply(var, batch, mode="test")
+    leaves = jax.tree_util.tree_leaves(dets)
+    assert all(bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
+               for x in leaves)
