@@ -173,3 +173,19 @@ def nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np
         iou = inter / np.maximum(areas[i] + areas[order[1:]] - inter, 1e-6)
         order = order[1:][iou <= iou_threshold]
     return np.array(keep, dtype=np.int64)
+
+
+def nms_match(boxes: jnp.ndarray, scores: jnp.ndarray,
+              iou_threshold: float, valid=None):
+    """mmcv.ops.nms_match semantics, static-shape: returns for each box the
+    index of the kept (suppressing) box it was matched to — kept boxes map
+    to themselves. Groups = boxes sharing a match index."""
+    keep = nms_padded(boxes, scores, iou_threshold, valid)
+    from ..bbox.geometry import bbox_overlaps
+    ious = bbox_overlaps(boxes, boxes)
+    cand = ious >= iou_threshold
+    cand = cand & keep[None, :]
+    sc = jnp.where(cand, scores[None, :], -jnp.inf)
+    match = jnp.argmax(sc, axis=1)
+    self_idx = jnp.arange(boxes.shape[0])
+    return jnp.where(keep, self_idx, match)

@@ -141,3 +141,12 @@ class DetectoRS_ResNet(nn.Module):
         if self.output_img:
             return tuple([img] + outs)
         return tuple(outs)
+
+
+@BACKBONES.register_module()
+class DetectoRS_ResNeXt(DetectoRS_ResNet):
+    """Grouped-conv variant registered for config compatibility (reference
+    detectors_resnext.py); the SAC/RFP machinery is shared — the grouped
+    3x3 becomes SAC's dense dual-dilation conv."""
+    groups: int = 32
+    base_width: int = 4

@@ -622,9 +622,12 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         return out16.astype(jnp.float32)
 
     chain_keys = jax.random.split(keys[5], width)
-    img_oamix = jnp.zeros_like(img)
-    for i in range(width):
-        img_oamix = img_oamix + ws[i] * chain(i, chain_keys[i])
+    if _os.environ.get("OAMIX_SKIP_CHAIN"):      # profiling knob
+        img_oamix = img * 1.0000001
+    else:
+        img_oamix = jnp.zeros_like(img)
+        for i in range(width):
+            img_oamix = img_oamix + ws[i] * chain(i, chain_keys[i])
 
     # object-aware mixing regions: low-saliency fg + oa random boxes
     low_sal = fg_valid & (scores <= float(cfg.get("score_thresh", 10)))
@@ -672,8 +675,12 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         return orig, aug, mask_max
 
     zeros = jnp.zeros_like(img)
-    orig, aug, mask_sum = jax.lax.fori_loop(
-        0, region_boxes.shape[0], mix_body, (zeros, zeros, jnp.zeros((h, w))))
+    if _os.environ.get("OAMIX_SKIP_MIX"):        # profiling knob
+        orig, aug, mask_sum = zeros, zeros, jnp.zeros((h, w))
+    else:
+        orig, aug, mask_sum = jax.lax.fori_loop(
+            0, region_boxes.shape[0], mix_body,
+            (zeros, zeros, jnp.zeros((h, w))))
 
     m_global = jax.random.beta(keys[5], 1.0, 1.0)
     rest = (1.0 - mask_sum)[..., None]
