@@ -424,7 +424,7 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
 
 
 def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
-              version: str):
+              version: str, active=None):
     """One reference ``aug()`` call (oa_mix.py:264): the sampled op applied
     to the full image.
 
@@ -543,7 +543,13 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
         jnp.where(op_idx < n_photo + 3, n_photo,
                   n_photo + 1 + (op_idx - n_photo - 3)))
     branches16 = [lambda k, b=b: b(k).astype(jnp.bfloat16) for b in branches]
-    return jax.lax.switch(jnp.clip(branch_idx, 0, len(branches) - 1),
+    if active is not None:
+        # empty random-box slots multiply the result by an all-zero mask —
+        # route them to a passthrough branch so the expensive op never
+        # executes (bit-exact: the output is discarded anyway)
+        branches16 = branches16 + [lambda k: img_io.astype(jnp.bfloat16)]
+        branch_idx = jnp.where(active, branch_idx, len(branches16) - 1)
+    return jax.lax.switch(jnp.clip(branch_idx, 0, len(branches16) - 1),
                           branches16, key)
 
 
@@ -606,7 +612,8 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
             for s in range(MAX_ML):
                 out_s = _aug_once(img_aug16, call_keys[wi, d, s],
                                   op_draw[wi, d, s], fg, img_shape,
-                                  severity, version).astype(jnp.float32)
+                                  severity, version,
+                                  active=ml_valid[s]).astype(jnp.float32)
                 img_tmp = img_tmp + ml_masks[s][..., None] * out_s
             out_bg = _aug_once(img_aug16, call_keys[wi, d, MAX_ML],
                                op_draw[wi, d, MAX_ML], fg, img_shape,
