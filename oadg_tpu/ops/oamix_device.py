@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+import os as _os
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -383,6 +384,66 @@ def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
     return fg_maps(fxg, fyg, h, w)
 
 
+def _apply_geo_bboxes_only_pw(img, fg: _FgInfo, family_idx, key,
+                              severity: float):
+    """bboxes_only_* on the piecewise-shift Pallas kernel: the per-box
+    warp decomposes into up to three per-row shift passes (x, y-transposed,
+    x) — shear/translate exactly (their inverse maps are unit-diagonal),
+    rotation via the centered Paeth 3-shear factorization. Each pass is
+    ops/pallas_warp.piecewise_shift_rows (per-block box-presence skipping),
+    replacing two per-pixel XLA gathers (~31 ms/call -> ~5 ms).
+
+    Same per-pixel strongest-box approximation as the gather path (the
+    documented divergence); rotation interpolates through 3 lerp stages
+    instead of 2.
+    """
+    from .pallas_warp import piecewise_shift_rows
+    h, w = img.shape[0], img.shape[1]
+    boxes = fg.boxes
+    g = boxes.shape[0]
+    u = jax.random.uniform(key, (g, 3))          # same draws as _op_matrices
+    lvl = 0.1 + u[:, 0] * (severity - 0.1)
+    sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
+    use_x = u[:, 2] < 0.5
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    bw = boxes[:, 2] - boxes[:, 0] + 1
+    bh = boxes[:, 3] - boxes[:, 1] + 1
+    deg = jnp.floor(lvl * 30.0 / 10.0) * sign
+    rad = jnp.deg2rad(deg)
+    # inverse map = R_std(+rad) about center; Paeth X(a1)Y(b2)X(a1)
+    a1 = -jnp.tan(rad / 2.0)
+    b2 = jnp.sin(rad)
+    sh = lvl * 0.3 / 10.0 * sign
+    tx = jnp.floor(lvl * (bw / 3.0) / 10.0) * sign
+    ty = jnp.floor(lvl * (bh / 3.0) / 10.0) * sign
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[:, None]
+    is_rot = family_idx == 0
+    is_shear = family_idx == 1
+    p1 = jnp.where(is_rot, a1[None, :] * (ys - cy[None, :]),
+                   jnp.where(is_shear,
+                             jnp.where(use_x[None, :],
+                                       sh[None, :] * (ys - cy[None, :]),
+                                       0.0),
+                             jnp.where(use_x[None, :], tx[None, :], 0.0)))
+    p2 = jnp.where(is_rot, b2[None, :] * (xs - cx[None, :]),
+                   jnp.where(is_shear,
+                             jnp.where(use_x[None, :], 0.0,
+                                       sh[None, :] * (xs - cx[None, :])),
+                             jnp.where(use_x[None, :], 0.0, ty[None, :])))
+    p3 = jnp.where(is_rot, p1, 0.0)
+    bid = fg.best_id.astype(jnp.int32)
+    out = piecewise_shift_rows(img, bid, p1, 512)
+    out = jnp.transpose(
+        piecewise_shift_rows(jnp.transpose(out, (1, 0, 2)),
+                             jnp.transpose(bid), p2, 768), (1, 0, 2))
+    out = piecewise_shift_rows(out, bid, p3, 512)
+    cov = fg.cover.astype(jnp.float32)[..., None]
+    out = img * (1.0 - cov) + out * cov
+    return jnp.clip(jnp.round(out), 0, 255)
+
+
 def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
     """bboxes_only_*: ONE per-pixel-separable 2-pass warp. The per-box
     inverse matrices are gathered per pixel by the precomputed
@@ -472,6 +533,15 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     family_idx = jnp.clip((op_idx - n_photo) % 3, 0, 2)
 
     def br_geo_bbox(k):
+        # The piecewise Pallas path wins only for few/localized boxes
+        # (kernel 7 ms worst-case vs 31 ms gathers) but loses its edge to
+        # per-box loop scaling + bid-map prep with >8 spread gt boxes —
+        # measured neutral end-to-end on the flagship batch, so the gather
+        # path stays the default. Flip with OAMIX_GEO_PW=1.
+        if (jax.devices()[0].platform != "cpu"
+                and _os.environ.get("OAMIX_GEO_PW")):
+            return _apply_geo_bboxes_only_pw(img, fg, family_idx, k,
+                                             severity)
         ms = jnp.stack([
             _op_matrices(k, f, fg.boxes, fg.valid, img_shape, severity,
                          is_bg=False)

@@ -299,3 +299,112 @@ def warp_rotate(img, rad, cx, cy, max_shift_x: int, max_shift_y: int,
     out = jnp.transpose(t, (1, 0, 2))
     s3, f3 = _row_shift_params(a, -a * cy, h, max_shift_x)
     return shear_rows_v3(out, s3, f3, max_shift_x, interpret=interpret)
+
+
+# ------------------------------------------------- piecewise (per-box) ----
+
+PW_MAX_RESID = 16
+
+
+def _pw_shift_kernel(base_ref, pres_ref, img_ref, bid_ref, resid_ref,
+                     frac_ref, out_ref, *, c: int, wc: int, g: int,
+                     pad_flat: int):
+    """Per-box piecewise row-shift: each pixel is shifted by its box's
+    per-row offset. Rows on sublanes; per present box: one dynamic
+    lane-rotation to the box's block-base window + residual static rolls;
+    a per-pixel box-id select merges the boxes. Boxes absent from the
+    8-row block are skipped entirely (pl.when on the prefetch presence
+    mask), so per-block work tracks the ~1-3 locally relevant boxes, not
+    MAX_FG."""
+    i = pl.program_id(0)
+    s_len = img_ref.shape[1]
+    tile = img_ref[:, :]
+    # identity (zero-shift) default — pixels of skipped boxes keep it
+    out_ref[:, :] = pltpu.roll(tile, shift=s_len - pad_flat,
+                               axis=1)[:, :wc]
+    bid = bid_ref[:, :]
+    for gi in range(g):
+        @pl.when(pres_ref[i, gi] > 0)
+        def _(gi=gi):
+            t_g = pltpu.roll(tile, shift=s_len - base_ref[i, gi], axis=1)
+            resid = resid_ref[:, gi:gi + 1]
+            frac = frac_ref[:, gi:gi + 1]
+            acc_a = jnp.zeros((tile.shape[0], wc), tile.dtype)
+            acc_b = jnp.zeros((tile.shape[0], wc), tile.dtype)
+            for d in range(PW_MAX_RESID):
+                sel = resid == d
+                ra = pltpu.roll(t_g, shift=s_len - d, axis=1)[:, :wc]
+                rb = pltpu.roll(t_g, shift=s_len - d - c, axis=1)[:, :wc]
+                acc_a = jnp.where(sel, ra, acc_a)
+                acc_b = jnp.where(sel, rb, acc_b)
+            val = acc_a * (1.0 - frac) + acc_b * frac
+            out_ref[:, :] = jnp.where(bid == gi, val, out_ref[:, :])
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def piecewise_shift_rows(img: jnp.ndarray, bid: jnp.ndarray,
+                         shifts: jnp.ndarray, max_shift: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """out[y, x] = lerp(img[y, x + shifts[y, bid[y, x]]]) — per-row,
+    per-box horizontal shift with linear interpolation, zero border.
+
+    img (H, W, C); bid (H, W) int32 in [0, G); shifts (H, G) float
+    (clipped to ±max_shift). The per-box shift must vary by < PW_MAX_RESID
+    flat elements across any 8 consecutive rows (slope*c bound — true for
+    OA-Mix's |slope| <= sin(30deg), c = 3).
+    """
+    h, w, c = img.shape
+    g = shifts.shape[1]
+    shifts = jnp.clip(shifts, -max_shift, max_shift)
+    if interpret or jax.devices()[0].platform == "cpu":
+        s_all = jnp.floor(shifts)
+        f_all = (shifts - s_all)
+        outs = []
+        for gi in range(g):
+            outs.append(shear_rows_xla(img, s_all[:, gi].astype(jnp.int32),
+                                       f_all[:, gi], max_shift))
+        stack = jnp.stack(outs)                        # (G, H, W, C)
+        return jnp.take_along_axis(
+            stack, bid[None, :, :, None].repeat(c, -1), axis=0)[0]
+    pad = max_shift + 8
+    img_p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0))).reshape(h, -1)
+    wc = w * c
+    s_len = ((img_p.shape[1] + 127) // 128) * 128
+    img_p = jnp.pad(img_p, ((0, 0), (0, s_len - img_p.shape[1])))
+    s_int = jnp.floor(shifts)
+    fracs = (shifts - s_int).astype(jnp.float32)       # (H, G)
+    flat_start = jnp.clip((s_int.astype(jnp.int32) + pad) * c, 0,
+                          s_len - wc - c - PW_MAX_RESID)
+    hb = pl.cdiv(h, GROUP_ROWS)
+    grp = flat_start.reshape(hb, GROUP_ROWS, g)
+    base = jnp.min(grp, axis=1)                        # (HB, G)
+    resid = jnp.clip(grp - base[:, None, :], 0,
+                     PW_MAX_RESID - 1).reshape(h, g).astype(jnp.int32)
+    # presence: does the block contain any pixel of box gi?
+    bid_blocks = bid.reshape(hb, GROUP_ROWS * w)
+    pres = jax.vmap(
+        lambda bb: jnp.zeros((g,), jnp.int32).at[bb].add(1))(bid_blocks)
+    pres = (pres > 0).astype(jnp.int32)                # (HB, G)
+    bid_flat = jnp.repeat(bid, c, axis=1).astype(jnp.int32)  # (H, wc)
+    kernel = functools.partial(_pw_shift_kernel, c=c, wc=wc, g=g,
+                               pad_flat=pad * c)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(hb,),
+            in_specs=[pl.BlockSpec((GROUP_ROWS, s_len),
+                                   lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, wc), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, g), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, g), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((GROUP_ROWS, wc), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, wc), img.dtype),
+    )(base, pres, img_p, bid_flat, resid, fracs)
+    return out.reshape(h, w, c)

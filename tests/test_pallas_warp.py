@@ -75,3 +75,24 @@ def test_rotate_close_to_cv2():
     di = np.abs(out[12:-12, 12:-12] - ref[12:-12, 12:-12])
     assert np.median(di) < 4.0, np.median(di)
     assert np.mean(di < 12) > 0.9, np.mean(di < 12)
+
+
+def test_piecewise_shift_rows_fallback():
+    """CPU fallback of the per-box piecewise shift (TPU kernel validated
+    on-chip against the per-box XLA shear + select construction)."""
+    import numpy as np
+    from oadg_tpu.ops.pallas_warp import piecewise_shift_rows
+    rng = np.random.RandomState(0)
+    h, w, c, g = 16, 24, 3, 4
+    img = jnp.asarray(rng.rand(h, w, c).astype(np.float32))
+    bid = jnp.asarray(rng.randint(0, g, (h, w)).astype(np.int32))
+    shifts = jnp.asarray(np.round(rng.uniform(-5, 5, (h, g))).astype(np.float32))
+    out = np.asarray(piecewise_shift_rows(img, bid, shifts, 8))
+    imgn = np.asarray(img)
+    sh = np.asarray(shifts).astype(int)
+    bidn = np.asarray(bid)
+    for y in range(h):
+        for x in range(w):
+            sx = x + sh[y, bidn[y, x]]
+            want = imgn[y, sx] if 0 <= sx < w else np.zeros(c)
+            assert np.allclose(out[y, x], want, atol=1e-5), (y, x)
