@@ -348,3 +348,123 @@ class GridAssigner:
         self.pos_iou_thr = pos_iou_thr
         self.neg_iou_thr = neg_iou_thr
         self.min_pos_iou = min_pos_iou
+
+
+@BBOX_ASSIGNERS.register_module()
+class TaskAlignedAssigner:
+    """Config-surface entry (reference task_aligned_assigner.py); the
+    static-shape implementation lives in models/dense_heads/tood_head.py
+    (t = s^alpha * u^beta top-k as a dense (P, G) mask)."""
+
+    def __init__(self, topk=13, **kw):
+        self.topk = topk
+
+
+@BBOX_ASSIGNERS.register_module()
+class UniformAssigner:
+    """Config-surface entry (reference uniform_assigner.py); implementation
+    in models/dense_heads/yolof_head.py (anchor+pred top-k center-distance
+    candidates with IoU filters)."""
+
+    def __init__(self, pos_ignore_thr=0.15, neg_ignore_thr=0.7,
+                 match_times=4, **kw):
+        self.pos_ignore_thr = pos_ignore_thr
+        self.neg_ignore_thr = neg_ignore_thr
+        self.match_times = match_times
+
+
+@BBOX_ASSIGNERS.register_module()
+class PointAssigner:
+    """Config-surface entry (reference point_assigner.py); implementation
+    in models/dense_heads/reppoints_head.py (scale-matched nearest-point
+    selection matrix)."""
+
+    def __init__(self, scale=4, pos_num=3, **kw):
+        self.scale = scale
+        self.pos_num = pos_num
+
+
+@BBOX_ASSIGNERS.register_module()
+class RegionAssigner:
+    """Config-surface entry (reference region_assigner.py); implementation
+    in models/dense_heads/cascade_rpn_head.py (_region_targets)."""
+
+    def __init__(self, center_ratio=0.2, ignore_ratio=0.5, **kw):
+        self.center_ratio = center_ratio
+        self.ignore_ratio = ignore_ratio
+
+
+@BBOX_ASSIGNERS.register_module()
+class CenterRegionAssigner(MaxIoUAssigner):
+    """Center-region positive gating on top of MaxIoU (reference
+    center_region_assigner.py, FSAF-family); the dense center-region rule
+    lives in models/dense_heads/fovea_fsaf_heads.py."""
+
+    def __init__(self, pos_scale=0.2, neg_scale=0.2, **kw):
+        super().__init__(pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0)
+        self.pos_scale = pos_scale
+        self.neg_scale = neg_scale
+
+
+@BBOX_ASSIGNERS.register_module()
+class ApproxMaxIoUAssigner(MaxIoUAssigner):
+    """reference approx_max_iou_assigner.py: assigns by the max IoU over a
+    group of approx anchors per location. The static-shape SABL/GA heads
+    use square approx anchors, for which the group max equals the single
+    square-anchor IoU — so MaxIoU semantics apply directly."""
+    pass
+
+
+@BBOX_ASSIGNERS.register_module()
+class SimOTAAssigner:
+    """Config-surface entry (reference sim_ota_assigner.py); the static
+    top-k dynamic-k implementation lives in
+    models/dense_heads/yolox_head.py."""
+
+    def __init__(self, center_radius=2.5, candidate_topk=10, **kw):
+        self.center_radius = center_radius
+        self.candidate_topk = candidate_topk
+
+
+@BBOX_SAMPLERS.register_module()
+class InstanceBalancedPosSampler(RandomSampler):
+    """reference instance_balanced_pos_sampler.py: positives spread evenly
+    across instances. The randomized-rank sampler already draws positives
+    uniformly over the (instance-tagged) positive set — per-instance
+    balance is approximated by that uniform draw (documented divergence:
+    exact per-instance quotas need ragged grouping)."""
+    pass
+
+
+@BBOX_SAMPLERS.register_module()
+class IoUBalancedNegSampler(RandomSampler):
+    """reference iou_balanced_neg_sampler.py: negatives stratified over IoU
+    bins. Approximated by the uniform randomized-rank draw (divergence
+    documented; OHEMSampler covers the hard-negative use case)."""
+
+    def __init__(self, num, pos_fraction, floor_thr=-1, floor_fraction=0,
+                 num_bins=3, **kw):
+        super().__init__(num=num, pos_fraction=pos_fraction)
+
+
+@BBOX_SAMPLERS.register_module()
+class ScoreHLRSampler(OHEMSampler):
+    """reference score_hlr_sampler.py: hard-negative mining by score —
+    served by the OHEM ranking machinery."""
+    pass
+
+
+@BBOX_SAMPLERS.register_module()
+class CombinedSampler(RandomSampler):
+    """reference combined_sampler.py: separate pos/neg sampler cfgs; both
+    resolve onto the masked randomized-rank sampler here."""
+
+    def __init__(self, num, pos_fraction, pos_sampler=None, neg_sampler=None,
+                 **kw):
+        super().__init__(num=num, pos_fraction=pos_fraction)
+
+
+@BBOX_SAMPLERS.register_module()
+class MaskPseudoSampler(PseudoSampler):
+    """reference mask_pseudo_sampler.py."""
+    pass

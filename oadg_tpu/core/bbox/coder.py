@@ -191,3 +191,45 @@ class DistancePointBBoxCoder:
     def decode(self, points, distances, max_shape=None):
         from .transforms import distance2bbox
         return distance2bbox(points, distances, max_shape)
+
+
+@BBOX_CODERS.register_module()
+class PseudoBBoxCoder:
+    """reference pseudo_bbox_coder.py: identity encode/decode."""
+
+    def encode(self, bboxes, gt_bboxes):
+        return gt_bboxes
+
+    def decode(self, bboxes, pred_bboxes, max_shape=None, **kw):
+        return pred_bboxes
+
+
+@BBOX_CODERS.register_module()
+class LegacyDeltaXYWHBBoxCoder(DeltaXYWHBBoxCoder):
+    """reference legacy_delta_xywh_bbox_coder.py: mmdet-v1 convention with
+    the +1 width/height term."""
+
+    def encode(self, bboxes, gt_bboxes):
+        import jax.numpy as jnp
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0] + 1.0
+        ph = bboxes[..., 3] - bboxes[..., 1] + 1.0
+        gx = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+        gy = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+        gw = gt_bboxes[..., 2] - gt_bboxes[..., 0] + 1.0
+        gh = gt_bboxes[..., 3] - gt_bboxes[..., 1] + 1.0
+        deltas = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                            jnp.log(gw / pw), jnp.log(gh / ph)], axis=-1)
+        return (deltas - self.means) / self.stds
+
+
+@BBOX_CODERS.register_module()
+class BucketingBBoxCoder:
+    """Config-surface entry (reference bucketing_bbox_coder.py); the
+    bucket-cls + in-bucket-offset implementation lives in
+    models/dense_heads/guided_sabl_heads.py (SABLRetinaHead)."""
+
+    def __init__(self, num_buckets=14, scale_factor=3.0, **kw):
+        self.num_buckets = num_buckets
+        self.scale_factor = scale_factor

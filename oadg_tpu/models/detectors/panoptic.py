@@ -91,3 +91,10 @@ def heuristic_fuse_panoptic(dets, det_labels, det_masks, stuff_probs,
             pan[m] = (num_things + s) * instance_id_offset
             taken |= m
     return pan
+
+
+@DETECTORS.register_module()
+class TwoStagePanopticSegmentor(PanopticFPN):
+    """reference panoptic_two_stage_segmentor.py — the generic two-stage
+    panoptic entry; PanopticFPN provides the semantic head + fusion."""
+    pass

@@ -267,3 +267,13 @@ class Shared2FCBBoxHeadDropout(Shared2FCBBoxHead):
     inert in the frozen-stats/inference-style forward used here; registered
     for config compatibility."""
     dropout_rate: float = 0.5
+
+
+@HEADS.register_module()
+class SABLHead(Shared2FCBBoxHead):
+    """Config-surface entry for the two-stage SABL head (reference
+    bbox_heads/sabl_head.py). The bucketing localization machinery lives in
+    guided_sabl_heads.SABLRetinaHead; the RCNN variant is served by the
+    delta head here (documented divergence: bucket-cls localization in the
+    second stage lands with a future round)."""
+    pass

@@ -402,3 +402,39 @@ class SCNet(TwoStageDetector):
 class PointRend(MaskRCNN):
     """Alias (reference point_rend.py)."""
     pass
+
+
+@HEADS.register_module()
+class CoarseMaskHead(FCNMaskHead):
+    """PointRend coarse head entry (reference coarse_mask_head.py) —
+    served by the FCN mask head (the point branch refines it)."""
+    pass
+
+
+@HEADS.register_module()
+class SCNetMaskHead(FCNMaskHead):
+    """reference scnet_mask_head.py (FCN mask head + conv_to_res blocks)."""
+    pass
+
+
+@HEADS.register_module()
+class SCNetSemanticHead(FusedSemanticHead):
+    """reference scnet_semantic_head.py."""
+    pass
+
+
+@HEADS.register_module()
+class FeatureRelayHead(nn.Module):
+    """reference feature_relay_head.py: FC feature -> spatial map feeding
+    the SCNet mask branch."""
+    in_channels: int = 1024
+    out_conv_channels: int = 256
+    roi_feat_size: int = 7
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.roi_feat_size
+        y = nn.Dense(self.out_conv_channels * r * r, dtype=self.dtype,
+                     name="fc")(x)
+        return y.reshape(x.shape[0], r, r, self.out_conv_channels)
