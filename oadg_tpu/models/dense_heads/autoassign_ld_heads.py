@@ -173,7 +173,12 @@ class LADHead(PAAHead):
 class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
     """reference kd_one_stage.py: a student single-stage detector with a
     frozen teacher run under stop_gradient; the student head receives the
-    teacher's predictions as soft targets."""
+    teacher's predictions as soft targets.
+
+    Freezing: teacher gradients are cut by stop_gradient; to also exempt
+    the teacher from weight decay, add ``teacher`` to the optimizer's
+    frozen-parameter mask (engine/optim.py) — the reference loads the
+    teacher from a checkpoint and never registers it with the optimizer."""
     teacher_config: Any = None
 
     def setup(self):
