@@ -172,3 +172,38 @@ class WandbLoggerMulti(WandbLogger):
 class TextLoggerHook(Hook):
     def __init__(self, **kw):
         pass
+
+
+@HOOKS.register_module()
+class ProfilerHook(Hook):
+    """Capture a device trace for a window of training iterations
+    (TPU analog of the reference's profile_time / benchmark utilities,
+    mmdet/utils/profiling.py:11 — but a full XLA op trace, not wall-clock
+    prints). Works through the axon tunnel; view with tensorboard's profile
+    plugin or summarize with tools/analysis_tools/parse_trace.py.
+
+    cfg: dict(type='ProfilerHook', start_iter=10, num_iters=3,
+              out_dir='/tmp/jaxprof')
+    """
+
+    def __init__(self, start_iter: int = 10, num_iters: int = 3,
+                 out_dir: str = "/tmp/jaxprof", **kw):
+        self.start_iter = start_iter
+        self.num_iters = num_iters
+        self.out_dir = out_dir
+        self._active = False
+        self._done = False
+
+    def after_train_iter(self, runner, log_vars):
+        import jax
+        it = getattr(runner, "iter", 0)
+        if self._done:
+            return
+        if not self._active and it >= self.start_iter:
+            jax.profiler.start_trace(self.out_dir)
+            self._active = True
+            self._start = it
+        elif self._active and it >= self._start + self.num_iters:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
