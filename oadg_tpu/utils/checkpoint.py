@@ -101,8 +101,10 @@ def convert_torch_state_dict(sd: Dict[str, "np.ndarray"],
                 if leaf == "kernel":
                     if idx == 0:
                         o, i = v.shape
-                        v = (v.reshape(o, roi_channels, roi_feat_size,
-                                       roi_feat_size)
+                        ch = (i // (roi_feat_size * roi_feat_size)
+                              if i % (roi_feat_size * roi_feat_size) == 0
+                              else roi_channels)
+                        v = (v.reshape(o, ch, roi_feat_size, roi_feat_size)
                              .transpose(0, 2, 3, 1).reshape(o, i))
                     v = v.T
                 _set(params, ("roi", "head", f"shared_fc{idx}", leaf), v)
@@ -166,6 +168,114 @@ def merge_variables(init_variables: Dict, loaded: Dict,
     return mutable
 
 
+# ---------------------------------------------------------------------------
+# Torch-free .pth reader.
+#
+# torch>=1.6 checkpoints (all published mmdet/OA-DG .pth files) are zip
+# archives: ``<name>/data.pkl`` pickles the object tree, with each tensor
+# serialized as a persistent-id reference ('storage', StorageType, key,
+# location, numel) to a raw little-endian buffer at ``<name>/data/<key>``,
+# rebuilt by ``torch._utils._rebuild_tensor_v2(storage, offset, size,
+# stride, ...)``.  We replay that protocol with zipfile + a restricted
+# pickle.Unpickler — no torch import — so the published-checkpoint path
+# (reference mmdet/apis/inference.py:17-89 init_detector-from-.pth) works
+# in torch-less environments.
+# ---------------------------------------------------------------------------
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype("<f4"), "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"), "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"), "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("i1"), "ByteStorage": np.dtype("u1"),
+    "BoolStorage": np.dtype("?"),
+    # bf16 has no numpy dtype: read raw u2, convert in _rebuild
+    "BFloat16Storage": np.dtype("<u2"),
+}
+
+
+class _StorageRef:
+    __slots__ = ("dtype_name", "array")
+
+    def __init__(self, dtype_name: str, array: np.ndarray):
+        self.dtype_name = dtype_name
+        self.array = array
+
+
+class _StorageType:
+    """Stand-in for torch.FloatStorage & co. found inside the pickle."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+def _rebuild_tensor_v2(storage: _StorageRef, storage_offset, size, stride,
+                       *unused) -> np.ndarray:
+    a = storage.array
+    itemsize = a.dtype.itemsize
+    strides = tuple(int(s) * itemsize for s in stride)
+    out = np.lib.stride_tricks.as_strided(
+        a[int(storage_offset):], shape=tuple(int(s) for s in size),
+        strides=strides).copy()
+    if storage.dtype_name == "BFloat16Storage":
+        out = (out.astype("<u4") << 16).view("<f4").astype(np.float32)
+    return out
+
+
+class _Opaque:
+    """Placeholder for non-tensor classes in checkpoint metadata."""
+
+    def __init__(self, *a, **k):
+        self.args, self.kwargs = a, k
+
+    def __setstate__(self, state):
+        self.state = state
+
+
+def _torch_free_unpickler(zf, pkl_file, data_prefix: str):
+    import pickle
+
+    class U(pickle.Unpickler):
+        def find_class(self, module, name):
+            if (module, name) == ("torch._utils", "_rebuild_tensor_v2"):
+                return _rebuild_tensor_v2
+            if module in ("torch", "torch.storage") and (
+                    name in _STORAGE_DTYPES or name == "UntypedStorage"):
+                return _StorageType(name)
+            if module in ("collections", "builtins", "numpy",
+                          "numpy.core.multiarray", "numpy._core.multiarray",
+                          "_codecs"):
+                return super().find_class(module, name)
+            return _Opaque   # metadata classes we don't need
+
+        def persistent_load(self, pid):
+            kind, storage_type, key, _location, numel = pid[:5]
+            assert kind == "storage", f"unknown persistent id {pid!r}"
+            name = (storage_type.name
+                    if isinstance(storage_type, _StorageType)
+                    else str(storage_type))
+            dtype = _STORAGE_DTYPES.get(name, np.dtype("<f4"))
+            raw = zf.read(f"{data_prefix}/data/{key}")
+            return _StorageRef(name, np.frombuffer(raw, dtype=dtype,
+                                                   count=int(numel)))
+
+    return U(pkl_file)
+
+
+def load_torch_pth(path: str):
+    """Read a torch-format .pth (zip) checkpoint without torch."""
+    import io
+    import zipfile
+    with zipfile.ZipFile(path) as zf:
+        pkl_names = [n for n in zf.namelist() if n.endswith("/data.pkl")]
+        if not pkl_names:
+            raise ValueError(
+                f"{path} is not a torch>=1.6 zip checkpoint "
+                "(legacy tar-format .pth is not supported torch-free)")
+        prefix = pkl_names[0][:-len("/data.pkl")]
+        with io.BytesIO(zf.read(pkl_names[0])) as f:
+            return _torch_free_unpickler(zf, f, prefix).load()
+
+
 def load_checkpoint_variables(path: str) -> Dict:
     """Load Orbax dir / torch .pth into a {params, batch_stats} tree."""
     if os.path.isdir(path):
@@ -173,7 +283,6 @@ def load_checkpoint_variables(path: str) -> Dict:
         state = ocp.PyTreeCheckpointer().restore(path)
         return {"params": state["params"],
                 "batch_stats": state.get("batch_stats")}
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("state_dict", ckpt)
+    ckpt = load_torch_pth(path)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return convert_torch_state_dict(sd)

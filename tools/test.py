@@ -78,6 +78,7 @@ def main():
     model_state = load_model_state(cfg, args.checkpoint)
     results = single_gpu_test(model_state, loader)
 
+    metrics = None
     if args.out:
         with open(args.out, "wb") as f:
             pickle.dump(results, f)
@@ -85,6 +86,7 @@ def main():
     if args.eval:
         metrics = dataset.evaluate(results, metric=args.eval)
         print(metrics)
+    return metrics
 
 
 if __name__ == "__main__":
