@@ -135,6 +135,39 @@ def _random_rank(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
     return ranks
 
 
+def _rank_of(values: jnp.ndarray) -> jnp.ndarray:
+    """Position of each element when sorted ascending (double argsort)."""
+    order = jnp.argsort(values)
+    return jnp.zeros(values.shape[0], jnp.int32).at[order].set(
+        jnp.arange(values.shape[0], dtype=jnp.int32))
+
+
+def _segmented_rank(mask: jnp.ndarray, seg_id: jnp.ndarray,
+                    order_values: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each True element *within its segment*, ordered by
+    ``order_values`` ascending. False elements get a large rank.
+
+    Static-shape replacement for the reference's per-group python loops
+    (instance_balanced_pos_sampler.py / score_hlr_sampler.py): lexsort by
+    (masked-out-last, segment, value), then rank = position - run start.
+    """
+    n = mask.shape[0]
+    big = jnp.int32(seg_id.max() + 2 if seg_id.size else 1)
+    seg = jnp.where(mask, seg_id.astype(jnp.int32), big)
+    # stable lexsort: secondary key first, then primary (jnp.argsort is stable)
+    perm1 = jnp.argsort(order_values)
+    perm2 = jnp.argsort(seg[perm1], stable=True)
+    order = perm1[perm2]                       # sorted by (seg, value)
+    seg_sorted = seg[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.array([True]),
+                              seg_sorted[1:] != seg_sorted[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, idx, -1))
+    rank_sorted = idx - run_start
+    ranks = jnp.zeros(n, jnp.int32).at[order].set(rank_sorted)
+    return jnp.where(mask, ranks, n)
+
+
 @BBOX_SAMPLERS.register_module()
 class RandomSampler:
     """Static-shape random pos/neg sampling.
@@ -153,6 +186,16 @@ class RandomSampler:
         self.neg_pos_ub = neg_pos_ub
         self.add_gt_as_proposals = add_gt_as_proposals
 
+    def _pos_rank(self, key: jax.Array, assign: AssignResult) -> jnp.ndarray:
+        """Rank positives for selection (rank < max_pos wins). Subclasses
+        override to bias the order (instance balance, hardness, ...)."""
+        return _random_rank(key, assign.gt_inds > 0)
+
+    def _neg_rank(self, key: jax.Array, assign: AssignResult,
+                  neg_needed) -> jnp.ndarray:
+        """Rank negatives for selection (rank < neg_needed wins)."""
+        return _random_rank(key, assign.gt_inds == 0)
+
     def sample(self, key: jax.Array, assign: AssignResult) -> SamplingResult:
         num = self.num
         max_pos = int(round(num * self.pos_fraction))
@@ -160,14 +203,14 @@ class RandomSampler:
         is_neg_all = assign.gt_inds == 0
         kp, kn = jax.random.split(key)
 
-        pos_rank = _random_rank(kp, is_pos_all)
+        pos_rank = self._pos_rank(kp, assign)
         pos_sel = is_pos_all & (pos_rank < max_pos)
         num_pos = jnp.sum(pos_sel)
 
         neg_needed = num - num_pos
         if self.neg_pos_ub >= 0:
             neg_needed = jnp.minimum(neg_needed, self.neg_pos_ub * jnp.maximum(num_pos, 1))
-        neg_rank = _random_rank(kn, is_neg_all)
+        neg_rank = self._neg_rank(kn, assign, neg_needed)
         neg_sel = is_neg_all & (neg_rank < neg_needed)
 
         # Fixed-size gather: selected positives (random order), then selected
@@ -428,30 +471,207 @@ class SimOTAAssigner:
 
 @BBOX_SAMPLERS.register_module()
 class InstanceBalancedPosSampler(RandomSampler):
-    """reference instance_balanced_pos_sampler.py: positives spread evenly
-    across instances. The randomized-rank sampler already draws positives
-    uniformly over the (instance-tagged) positive set — per-instance
-    balance is approximated by that uniform draw (documented divergence:
-    exact per-instance quotas need ragged grouping)."""
-    pass
+    """Positives spread evenly across instances (reference
+    mmdet/core/bbox/samplers/instance_balanced_pos_sampler.py:1-56).
+
+    Reference algorithm, static-shape: per-gt quota
+    ``round(expected / num_instances) + 1`` positives drawn uniformly
+    within each instance; shortfall filled uniformly from the remaining
+    positives; overflow subsampled uniformly. Expressed as a rank:
+    within-quota positives (in random order) first, leftover positives
+    after — cutting at ``max_pos`` reproduces both the fill and the
+    subsample cases.
+    """
+
+    def _pos_rank(self, key, assign):
+        max_pos = int(round(self.num * self.pos_fraction))
+        pos = assign.gt_inds > 0
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, pos.shape)
+        within = _segmented_rank(pos, assign.gt_inds, u)
+        # instances with >=1 positive == positives holding within-rank 0
+        num_inst = jnp.maximum(jnp.sum(pos & (within == 0)), 1)
+        quota = jnp.round(max_pos / num_inst).astype(jnp.int32) + 1
+        first = pos & (within < quota)
+        u2 = jax.random.uniform(k2, pos.shape)
+        sort_key = jnp.where(first, u2,
+                             jnp.where(pos, 2.0 + u2, 4.0 + u2))
+        return _rank_of(sort_key)
 
 
 @BBOX_SAMPLERS.register_module()
 class IoUBalancedNegSampler(RandomSampler):
-    """reference iou_balanced_neg_sampler.py: negatives stratified over IoU
-    bins. Approximated by the uniform randomized-rank draw (divergence
-    documented; OHEMSampler covers the hard-negative use case)."""
+    """IoU-balanced negative sampling, Libra R-CNN (reference
+    mmdet/core/bbox/samplers/iou_balanced_neg_sampler.py:1-158).
+
+    ``floor_fraction`` of the negatives come uniformly from the
+    low-IoU floor set; the rest are stratified uniformly over
+    ``num_bins`` equal IoU intervals spanning [floor_thr, max_iou],
+    with shortfalls refilled uniformly. Static-shape: per-bin quotas
+    become segmented random ranks; the reference's set arithmetic
+    becomes priority keys cut at ``neg_needed``.
+    """
 
     def __init__(self, num, pos_fraction, floor_thr=-1, floor_fraction=0,
                  num_bins=3, **kw):
-        super().__init__(num=num, pos_fraction=pos_fraction)
+        super().__init__(num=num, pos_fraction=pos_fraction, **kw)
+        assert floor_thr >= 0 or floor_thr == -1
+        assert 0 <= floor_fraction <= 1
+        assert num_bins >= 1
+        self.floor_thr = floor_thr
+        self.floor_fraction = floor_fraction
+        self.num_bins = num_bins
+
+    def _neg_rank(self, key, assign, neg_needed):
+        neg = assign.gt_inds == 0
+        iou = assign.max_overlaps
+        n = neg.shape[0]
+        if self.floor_thr > 0:
+            floor_m = neg & (iou >= 0) & (iou < self.floor_thr)
+            iou_m = neg & (iou >= self.floor_thr)
+            floor_eff = self.floor_thr
+        elif self.floor_thr == 0:
+            floor_m = neg & (iou == 0)
+            iou_m = neg & (iou > 0)
+            floor_eff = 0.0
+        else:
+            floor_m = jnp.zeros_like(neg)
+            iou_m = neg
+            floor_eff = 0.0
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        exp_iou = jnp.floor(neg_needed * (1 - self.floor_fraction)
+                            ).astype(jnp.int32)
+
+        if self.num_bins >= 2:
+            # bin edges span [floor_eff, global max IoU] (reference
+            # sample_via_interval uses max over *all* candidates)
+            max_iou = jnp.maximum(jnp.max(iou), floor_eff + 1e-6)
+            interval = (max_iou - floor_eff) / self.num_bins
+            bin_id = jnp.clip(((iou - floor_eff) / interval).astype(jnp.int32),
+                              0, self.num_bins - 1)
+            u = jax.random.uniform(k1, (n,))
+            within = _segmented_rank(iou_m, bin_id, u)
+            per_bin = exp_iou // self.num_bins
+            in_quota = iou_m & (within < per_bin)
+        else:
+            in_quota = jnp.zeros_like(neg)
+
+        # priority: per-bin quota winners, then remaining iou-set (extras),
+        # cut at exp_iou
+        u2 = jax.random.uniform(k2, (n,))
+        iou_key = jnp.where(in_quota, u2,
+                            jnp.where(iou_m, 2.0 + u2, 4.0 + u2))
+        iou_sel = iou_m & (_rank_of(iou_key) < exp_iou)
+        n_iou = jnp.sum(iou_sel)
+
+        exp_floor = neg_needed - n_iou
+        floor_rank = _random_rank(k3, floor_m)
+        floor_sel = floor_m & (floor_rank < exp_floor)
+
+        # final fill from any unselected negative
+        sel = iou_sel | floor_sel
+        u4 = jax.random.uniform(k4, (n,))
+        final_key = jnp.where(sel, u4, jnp.where(neg, 2.0 + u4, 4.0 + u4))
+        return _rank_of(final_key)
+
+
+def score_hlr_importance(valid: jnp.ndarray, match_idx: jnp.ndarray,
+                         scores: jnp.ndarray):
+    """Score hierarchical-local-rank importance (reference
+    score_hlr_sampler.py:178-186): within each NMS-match group rank by
+    score descending, ``imp = num_valid - rank + score``.
+
+    Args: valid (N,) bool; match_idx (N,) group key (nms_match output);
+    scores (N,) max positive-class score. Returns imp (N,), 0 for invalid.
+    """
+    num_valid = jnp.sum(valid)
+    rank_in_group = _segmented_rank(valid, match_idx, -scores)
+    imp = num_valid.astype(jnp.float32) - rank_in_group + scores
+    return jnp.where(valid, imp, 0.0)
 
 
 @BBOX_SAMPLERS.register_module()
-class ScoreHLRSampler(OHEMSampler):
-    """reference score_hlr_sampler.py: hard-negative mining by score —
-    served by the OHEM ranking machinery."""
-    pass
+class ScoreHLRSampler(RandomSampler):
+    """ISR-N: negative mining by score hierarchical local rank (reference
+    mmdet/core/bbox/samplers/score_hlr_sampler.py:1-265), static-shape.
+
+    ``sample(key, assign, hlr=...)`` takes the head's no-grad outputs on
+    every candidate: ``scores`` (max positive-class softmax), ``boxes``
+    (decoded boxes of the argmax class), optional ``ori_loss`` (per-
+    candidate background CE). Negatives with score > ``score_thr`` are
+    grouped with nms_match, two-step-ranked by importance, and the top
+    ``neg_needed`` picked; the rest come uniformly from the low-score
+    pool. Returns (SamplingResult, neg_label_weights-aligned-to-slots).
+    Without ``hlr`` inputs it degrades to uniform sampling (the reference
+    precondition — a head context — is absent).
+    """
+
+    def __init__(self, num, pos_fraction, neg_pos_ub=-1,
+                 add_gt_as_proposals=True, k=0.5, bias=0, score_thr=0.05,
+                 iou_thr=0.5, **kwargs):
+        super().__init__(num=num, pos_fraction=pos_fraction,
+                         neg_pos_ub=neg_pos_ub,
+                         add_gt_as_proposals=add_gt_as_proposals)
+        self.k = k
+        self.bias = bias
+        self.score_thr = score_thr
+        self.iou_thr = iou_thr
+        self._hlr = None
+
+    def _neg_rank(self, key, assign, neg_needed):
+        if self._hlr is None:
+            return _random_rank(key, assign.gt_inds == 0)
+        scores, boxes = self._hlr[:2]
+        neg = assign.gt_inds == 0
+        n = neg.shape[0]
+        valid = neg & (scores > self.score_thr)
+        invalid = neg & ~valid
+
+        from ..post_processing.nms import nms_match
+        match = nms_match(boxes, jnp.where(valid, scores, -1.0),
+                          self.iou_thr, valid=valid)
+        imp = score_hlr_importance(valid, match, scores)
+        # two-step rank: imp descending among valid
+        imp_rank = _segmented_rank(valid, jnp.zeros(n, jnp.int32), -imp)
+        self._imp_rank = imp_rank
+        self._valid = valid
+        # hlr winners first (by importance), then invalid uniformly
+        u = jax.random.uniform(key, (n,))
+        sort_key = jnp.where(
+            valid, imp_rank.astype(jnp.float32) / n,
+            jnp.where(invalid, 2.0 + u, 4.0 + u))
+        return _rank_of(sort_key)
+
+    def sample(self, key, assign: AssignResult, hlr=None):
+        """Returns SamplingResult; with ``hlr`` also stores per-slot
+        ``self.last_neg_label_weights`` (ISR-N weights, reference
+        :195-210)."""
+        self._hlr = hlr
+        res = super().sample(key, assign)
+        if hlr is None:
+            self.last_neg_label_weights = jnp.ones(self.num)
+            return res
+        num_valid = jnp.sum(self._valid)
+        neg_needed = jnp.sum(res.valid & ~res.is_pos)
+        up_bound = jnp.maximum(neg_needed, num_valid).astype(jnp.float32)
+        slot_rank = self._imp_rank[res.inds].astype(jnp.float32)
+        slot_valid = self._valid[res.inds]
+        w = (up_bound - slot_rank) / up_bound
+        # low-score slots get the min hlr weight (reference :202)
+        min_w = jnp.min(jnp.where(slot_valid, w, jnp.inf))
+        min_w = jnp.where(jnp.isfinite(min_w), min_w, 1.0)
+        w = jnp.where(slot_valid, w, min_w)
+        w = (self.bias + (1 - self.bias) * w) ** self.k
+        is_neg_slot = res.valid & ~res.is_pos
+        if len(hlr) > 2 and hlr[2] is not None:
+            ori = hlr[2][res.inds]
+            num = jnp.sum(jnp.where(is_neg_slot, ori, 0.0))
+            den = jnp.sum(jnp.where(is_neg_slot, ori * w, 0.0))
+            w = w * num / jnp.maximum(den, 1e-12)
+        self.last_neg_label_weights = jnp.where(is_neg_slot, w, 1.0)
+        self._hlr = None
+        return res
 
 
 @BBOX_SAMPLERS.register_module()

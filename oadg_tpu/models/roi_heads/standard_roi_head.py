@@ -60,9 +60,14 @@ class StandardRoIHead(nn.Module):
         asn.pop("type", None)
         self.assigner = MaxIoUAssigner(**asn)
         smp = dict(tc.get("sampler", dict(num=512, pos_fraction=0.25)))
-        smp.pop("type", None)
+        smp_type = smp.pop("type", "RandomSampler")
+        smp.pop("context", None)       # ScoreHLR: head context is implicit
         self.add_gt_as_proposals = smp.pop("add_gt_as_proposals", True)
-        self.sampler = RandomSampler(**smp)
+        from ...utils.registry import BBOX_SAMPLERS
+        sampler_cls = BBOX_SAMPLERS.get(smp_type) or RandomSampler
+        if not hasattr(sampler_cls, "sample"):   # PseudoSampler etc.
+            sampler_cls = RandomSampler
+        self.sampler = sampler_cls(**smp)
         self.pos_weight = float(tc.get("pos_weight", -1))
         # optional mask branch (reference standard_roi_head.py init_mask_head)
         mh = dict(getattr(self, "mask_head", None) or {})
