@@ -131,31 +131,43 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         it_lock = threading.Lock()
-        it = iter(batches)
+        it = iter(enumerate(batches))
 
         def worker():
             while not stop.is_set():
                 with it_lock:
                     try:
-                        idxs = next(it)
+                        bi, idxs = next(it)
                     except StopIteration:
                         break
                 samples = [self.dataset[int(i)] for i in idxs]
-                q.put(self.batcher(samples))
+                q.put((bi, self.batcher(samples)))
             q.put(None)
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
+        # Yield strictly in batch order: workers finish out of order, so
+        # buffer early arrivals (evaluation aligns results to dataset
+        # indices by position — completion order would permute them).
         done = 0
+        buf: Dict[int, Dict[str, np.ndarray]] = {}
+        next_bi = 0
         try:
-            while done < len(threads):
+            while done < len(threads) or buf:
+                if next_bi in buf:
+                    yield buf.pop(next_bi)
+                    next_bi += 1
+                    continue
+                if done >= len(threads):
+                    break       # remaining gaps impossible; defensive
                 item = q.get()
                 if item is None:
                     done += 1
                     continue
-                yield item
+                bi, b = item
+                buf[bi] = b
         finally:
             stop.set()
             for t in threads:

@@ -70,7 +70,8 @@ class Checkpointer:
         path = path or self.latest_path()
         if path is None or not os.path.exists(path):
             return None
-        return self._ckptr.restore(path)
+        from ..utils.checkpoint import orbax_restore
+        return orbax_restore(path)
 
 
 class EpochBasedRunner:

@@ -276,11 +276,30 @@ def load_torch_pth(path: str):
             return _torch_free_unpickler(zf, f, prefix).load()
 
 
+def orbax_restore(path: str):
+    """Restore an Orbax PyTree checkpoint as host numpy arrays.
+
+    A plain ``restore(path)`` resolves shardings from the shard metadata
+    written at save time, which fails across processes/topologies
+    ("sharding ... Got None"); requesting ``np.ndarray`` leaves makes the
+    checkpoint portable (the train step re-shards on device anyway).
+    """
+    import jax.tree_util as jtu
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        tree = ckptr.metadata(path).item_metadata.tree
+        ra = jtu.tree_map(lambda m: ocp.RestoreArgs(restore_type=np.ndarray),
+                          tree)
+        return ckptr.restore(path, restore_args=ra)
+    except (AttributeError, TypeError):     # older orbax metadata API
+        return ckptr.restore(path)
+
+
 def load_checkpoint_variables(path: str) -> Dict:
     """Load Orbax dir / torch .pth into a {params, batch_stats} tree."""
     if os.path.isdir(path):
-        import orbax.checkpoint as ocp
-        state = ocp.PyTreeCheckpointer().restore(path)
+        state = orbax_restore(path)
         return {"params": state["params"],
                 "batch_stats": state.get("batch_stats")}
     ckpt = load_torch_pth(path)

@@ -141,3 +141,29 @@ def test_coco_evaluate_protocol(coco_fixture):
         results_bad.append(per_cls)
     out_bad = ds.evaluate(results_bad, metric="bbox")
     assert out_bad["bbox_mAP"] < out["bbox_mAP"]
+
+
+def test_loader_preserves_batch_order_with_slow_workers():
+    """Multi-worker prefetch must yield batches in dataset order even when
+    early batches are slow (evaluation aligns results by position; round-1
+    completion-order emission permuted eval results nondeterministically)."""
+    import time
+    from oadg_tpu.data.builder import PrefetchLoader
+
+    class SlowDataset:
+        flag = np.zeros(16, np.uint8)
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            time.sleep(0.05 if i % 4 == 0 else 0.0)   # stall some batches
+            return {"idx": np.array([i])}
+
+    loader = PrefetchLoader(SlowDataset(), samples_per_gpu=2, num_workers=4,
+                            shuffle=False)
+    loader.batcher = lambda samples: {
+        "idx": np.concatenate([s["idx"] for s in samples])}
+    for _ in range(3):
+        seen = np.concatenate([b["idx"] for b in loader])
+        np.testing.assert_array_equal(seen, np.arange(16))

@@ -160,7 +160,7 @@ data = dict(
 optimizer = dict(type='SGD', lr={lr}, momentum=0.9, weight_decay=1e-4)
 optimizer_config = dict(grad_clip=None)
 lr_config = dict(policy='step', warmup='linear', warmup_iters=30,
-                 warmup_ratio=0.1, step=[1000])
+                 warmup_ratio=0.1, step=[{decay_epoch}])
 runner = dict(type='EpochBasedRunner', max_epochs={epochs})
 log_config = dict(interval=10)
 checkpoint_config = dict(interval={epochs})
@@ -168,11 +168,11 @@ seed = 0
 """
 
 
-def write_config(tmp_path, root, repeat=25, epochs=8, lr=0.02):
+def write_config(tmp_path, root, repeat=25, epochs=12, lr=0.02):
     cfg_path = tmp_path / "overfit_cfg.py"
     cfg_path.write_text(CONFIG_TEMPLATE.format(
         num_views=NUM_VIEWS, w=W, h=H, root=str(root), repeat=repeat,
-        epochs=epochs, lr=lr))
+        epochs=epochs, lr=lr, decay_epoch=max(epochs - 4, 1)))
     return str(cfg_path)
 
 
@@ -209,7 +209,7 @@ def test_flagship_overfits_to_high_map(tmp_path):
     root = tmp_path / "data"
     root.mkdir()
     make_dataset(root)
-    epochs = int(__import__("os").environ.get("OADG_OVERFIT_EPOCHS", "8"))
+    epochs = int(__import__("os").environ.get("OADG_OVERFIT_EPOCHS", "12"))
     cfg_path = write_config(tmp_path, root, repeat=25, epochs=epochs)
     work_dir = str(tmp_path / "work")
     runner = train(cfg_path, work_dir)
