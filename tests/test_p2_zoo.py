@@ -105,14 +105,16 @@ CASES = {
                                    num_protos=8)), None, SINGLE_TEST),
 }
 
+# Round-1 verdict: the zoo sweep was opt-in; it now runs by default
+# (CPU-cheap at these tiny shapes). OADG_ZOO_TESTS=0 opts out.
+RUN_ALL = os.environ.get("OADG_ZOO_TESTS", "1") != "0"
 DEFAULT_CASES = ["fsaf"]
-RUN_ALL = os.environ.get("OADG_ZOO_TESTS") == "1"
 
 
 @pytest.mark.parametrize("name", list(CASES))
 def test_zoo_train_and_decode(name):
     if not RUN_ALL and name not in DEFAULT_CASES:
-        pytest.skip("set OADG_ZOO_TESTS=1 for the full zoo sweep")
+        pytest.skip("OADG_ZOO_TESTS=0 skips the full zoo sweep")
     cfg, train_cfg, test_cfg = CASES[name]
     det = build_detector(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
     img = jnp.zeros((2, 64, 96, 3))

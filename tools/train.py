@@ -39,6 +39,16 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # Multi-host bring-up (reference tools/train.py:129 init_dist): when a
+    # launcher environment is present the global mesh spans every host.
+    from oadg_tpu.parallel.mesh import init_distributed
+    if args.launcher != "none" or any(
+            k in os.environ for k in ("JAX_COORDINATOR_ADDRESS",
+                                      "SLURM_JOB_ID",
+                                      "OMPI_COMM_WORLD_SIZE")):
+        rank, world = init_distributed()
+        if world > 1:
+            print(f"initialized jax.distributed: process {rank}/{world}")
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
