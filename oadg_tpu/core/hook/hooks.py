@@ -29,6 +29,9 @@ class Hook:
     def after_train_epoch(self, runner):
         pass
 
+    def after_val_epoch(self, runner, metrics: Dict[str, float]):
+        pass
+
     def after_run(self, runner):
         pass
 
@@ -132,13 +135,23 @@ class FeatureHook(Hook):
 
 @HOOKS.register_module()
 class WandbLogger(Hook):
-    """wandb metrics logging (reference core/hook/wandblogger_hook.py:17).
-    Degrades to a no-op warning when wandb is unavailable (it is not baked
-    into this image); the log_vars stream still reaches the json log."""
+    """wandb experiment logging (reference core/hook/wandblogger_hook.py:17-678):
+    train scalars + lr, config upload, checkpoint artifacts, captured
+    feature maps, and a per-epoch evaluation table of predictions drawn
+    as wandb box overlays. Degrades to a logged no-op when the wandb
+    package is unavailable (tested against an injected fake module)."""
 
-    def __init__(self, init_kwargs=None, interval: int = 50, **kw):
+    def __init__(self, init_kwargs=None, interval: int = 50,
+                 log_checkpoint: bool = False,
+                 log_checkpoint_metadata: bool = False,
+                 num_eval_images: int = 100, bbox_score_thr: float = 0.3,
+                 **kw):
         self.interval = interval
         self.init_kwargs = init_kwargs or {}
+        self.log_checkpoint = log_checkpoint
+        self.log_checkpoint_metadata = log_checkpoint_metadata
+        self.num_eval_images = num_eval_images
+        self.bbox_score_thr = bbox_score_thr
         try:
             import wandb
             self.wandb = wandb
@@ -146,24 +159,115 @@ class WandbLogger(Hook):
             self.wandb = None
 
     def before_run(self, runner):
-        if self.wandb:
-            self.wandb.init(**self.init_kwargs)
-        else:
+        if not self.wandb:
             runner.logger.warning("wandb not available; WandbLogger is a no-op")
+            return
+        self.wandb.init(**self.init_kwargs)
+        cfg = getattr(runner, "cfg", None)
+        if cfg is not None:
+            try:
+                self.wandb.config.update(
+                    {k: str(v) for k, v in dict(cfg).items()},
+                    allow_val_change=True)
+            except Exception:
+                pass
 
     def after_train_iter(self, runner, log_vars):
         if self.wandb and runner.iter % self.interval == 0:
-            self.wandb.log(dict(log_vars), step=runner.iter)
+            out = {f"train/{k}": float(v) for k, v in dict(log_vars).items()}
+            if hasattr(runner, "lr_fn"):
+                out["learning_rate"] = float(runner.lr_fn(runner.iter))
+            self.wandb.log(out, step=runner.iter)
+
+    def after_train_epoch(self, runner):
+        if not self.wandb:
+            return
+        # feature maps captured by a FeatureHook sibling (reference logs
+        # model.features gathered by forward hooks)
+        for h in getattr(runner, "hooks", []):
+            feats = getattr(h, "features", None)
+            if feats:
+                for name, val in _flatten_tree(feats):
+                    import numpy as _np
+                    arr = _np.asarray(val)
+                    self.wandb.log({f"features/{name}":
+                                    self.wandb.Histogram(arr.ravel())},
+                                   step=runner.iter)
+        if self.log_checkpoint:
+            path = runner.ckpt.latest_path()
+            if path:
+                art = self.wandb.Artifact(
+                    f"checkpoint-{getattr(self.wandb.run, 'id', 'run')}",
+                    type="model",
+                    metadata=(dict(epoch=runner.epoch)
+                              if self.log_checkpoint_metadata else None))
+                art.add_dir(path)
+                self.wandb.log_artifact(art)
+
+    def after_val_epoch(self, runner, metrics):
+        if not self.wandb:
+            return
+        self.wandb.log({f"val/{k}": v for k, v in metrics.items()
+                        if isinstance(v, (int, float))}, step=runner.iter)
+        results = getattr(runner, "last_val_results", None)
+        ds = getattr(runner, "val_dataset", None)
+        if not results or ds is None or not self.num_eval_images:
+            return
+        classes = list(getattr(ds, "CLASSES", []) or [])
+        class_id_to_label = {i: c for i, c in enumerate(classes)}
+        table = self.wandb.Table(columns=["image_name", "prediction"])
+        import os.path as _osp
+
+        import numpy as _np
+        n = min(self.num_eval_images, len(results), len(ds))
+        for i in range(n):
+            info = ds.data_infos[i]
+            path = _osp.join(getattr(ds, "img_prefix", ""),
+                             info.get("filename", info.get("file_name", "")))
+            box_data = []
+            for cls_id, dets in enumerate(results[i]):
+                for det in _np.asarray(dets):
+                    if det[4] < self.bbox_score_thr:
+                        continue
+                    box_data.append(dict(
+                        position=dict(minX=float(det[0]), minY=float(det[1]),
+                                      maxX=float(det[2]), maxY=float(det[3])),
+                        class_id=int(cls_id),
+                        scores=dict(score=float(det[4])),
+                        domain="pixel"))
+            img = self.wandb.Image(
+                path, boxes=dict(predictions=dict(
+                    box_data=box_data, class_labels=class_id_to_label)))
+            table.add_data(info.get("filename", str(i)), img)
+        self.wandb.log({"eval/predictions": table}, step=runner.iter)
 
     def after_run(self, runner):
         if self.wandb:
             self.wandb.finish()
 
 
+def _flatten_tree(tree, prefix=""):
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.extend(_flatten_tree(v, f"{prefix}/{k}" if prefix else str(k)))
+    else:
+        out.append((prefix, tree))
+    return out
+
+
 @HOOKS.register_module()
 class WandbLoggerMulti(WandbLogger):
-    """Multi-domain eval variant (reference wandblogger_multi_hook.py)."""
-    pass
+    """Multi-domain eval variant (reference wandblogger_multi_hook.py):
+    per-domain val metrics get a domain-qualified prefix."""
+
+    def after_val_epoch(self, runner, metrics):
+        if not self.wandb:
+            return
+        domain = getattr(runner, "val_domain", None)
+        if domain:
+            metrics = {f"{domain}/{k}": v for k, v in metrics.items()}
+        super().after_val_epoch(runner, metrics)
 
 
 # mmcv-name compat: configs reference TextLoggerHook inside log_config; the

@@ -234,6 +234,7 @@ class EpochBasedRunner:
                 self.json_log.write(json.dumps(
                     dict(mode="val", epoch=self.epoch, **metrics)) + "\n")
                 self.json_log.flush()
+                self.call_hooks("after_val_epoch", metrics)
         self.call_hooks("after_run")
 
     # ---------------- eval ----------------
@@ -243,6 +244,7 @@ class EpochBasedRunner:
         results = run_test(self.test_fn, self.params, self.batch_stats,
                            self.val_loader,
                            num_classes=_num_classes(self.cfg))
+        self.last_val_results = results       # consumed by WandbLogger
         kwargs = {}
         ev = dict(self.cfg.get("evaluation", {}) or {})
         if metric or ev.get("metric"):

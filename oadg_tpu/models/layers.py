@@ -193,3 +193,37 @@ def max_pool_3x3_s2(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+
+class NonLocal2d(nn.Module):
+    """Embedded-gaussian non-local block (mmcv.cnn.NonLocal2d; consumed by
+    BFP refine and backbone plugins, reference mmdet/models/necks/bfp.py).
+
+    y = x + W_out( softmax(theta(x) phi(x)^T) g(x) ) over flattened HW —
+    three 1x1 projections at C/2 plus one attention matmul, all
+    MXU-shaped.
+    """
+    in_channels: int
+    reduction: int = 2
+    use_scale: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        inter = max(self.in_channels // self.reduction, 1)
+        theta = nn.Conv(inter, (1, 1), dtype=self.dtype, name="theta")(x)
+        phi = nn.Conv(inter, (1, 1), dtype=self.dtype, name="phi")(x)
+        g = nn.Conv(inter, (1, 1), dtype=self.dtype, name="g")(x)
+        q = theta.reshape(b, h * w, inter)
+        k = phi.reshape(b, h * w, inter)
+        v = g.reshape(b, h * w, inter)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k)
+        if self.use_scale:
+            attn = attn / jnp.sqrt(jnp.asarray(inter, attn.dtype))
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, inter)
+        # conv_out is zero-init in mmcv (residual starts as identity)
+        y = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="conv_out")(y)
+        return x + y

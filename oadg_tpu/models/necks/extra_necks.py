@@ -29,7 +29,7 @@ class BFP(nn.Module):
     in_channels: int = 256
     num_levels: int = 5
     refine_level: int = 2
-    refine_type: Optional[str] = "conv"       # None | 'conv'
+    refine_type: Optional[str] = "conv"       # None | 'conv' | 'non_local'
     dtype: Any = None
 
     @nn.compact
@@ -51,6 +51,10 @@ class BFP(nn.Module):
         if self.refine_type == "conv":
             bsf = Conv(self.in_channels, 3, 1, 1, dtype=self.dtype,
                        name="refine")(bsf)
+        elif self.refine_type == "non_local":
+            from ..layers import NonLocal2d
+            bsf = NonLocal2d(self.in_channels, dtype=self.dtype,
+                             name="refine")(bsf)
         outs = []
         for i, x in enumerate(inputs):
             hw = x.shape[1:3]

@@ -263,10 +263,35 @@ class DoubleConvFCBBoxHead(Shared2FCBBoxHead):
 
 @HEADS.register_module()
 class Shared2FCBBoxHeadDropout(Shared2FCBBoxHead):
-    """Dropout variant (reference convfc_bbox_head_dropout.py) — dropout is
-    inert in the frozen-stats/inference-style forward used here; registered
-    for config compatibility."""
+    """Dropout variant (reference convfc_bbox_head_dropout.py:171-190,
+    'dropout1d' mode: F.dropout on the shared-FC activations in training).
+    Active when the caller provides a 'dropout' PRNG stream (train path);
+    deterministic identity otherwise (test path) — matching
+    F.dropout(training=...) semantics."""
     dropout_rate: float = 0.5
+
+    def __call__(self, roi_feats: jnp.ndarray):
+        x = roi_feats
+        for conv in self.shared_convs:
+            x = conv(x)
+        x = x.reshape(x.shape[0], -1)
+        use_drop = self.has_rng("dropout") and self.dropout_rate > 0
+        for i, fc in enumerate(self.shared_fcs):
+            x = nn.relu(fc(x))
+            if use_drop:
+                keep = 1.0 - self.dropout_rate
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, x.shape)
+                x = jnp.where(mask, x / keep, 0.0)
+        cls_score = self.fc_cls(x)
+        bbox_pred = self.fc_reg(x)
+        return cls_score, bbox_pred, None
+
+
+@HEADS.register_module()
+class ConvFCBBoxHeadDropout(Shared2FCBBoxHeadDropout):
+    """Reference convfc_bbox_head_dropout.py registered name."""
+    pass
 
 
 @HEADS.register_module()

@@ -103,6 +103,11 @@ def build_from_cfg(cfg: dict, registry: Registry, default_args: Optional[dict] =
 
 _warned_dropped = set()
 
+# Keys the REFERENCE itself deprecates/ignores — dropping them is expected
+# behavior, not a gap, so no warning (e.g. contrastive_head.py marks
+# out_dim_cont deprecated; it appears in the flagship OA-DG config).
+_SILENT_DROP = {"out_dim_cont", "init_cfg", "pretrained"}
+
 
 def _filter_linen_kwargs(obj_cls, args: dict) -> dict:
     """Drop config keys a flax.linen module doesn't declare.
@@ -125,7 +130,8 @@ def _filter_linen_kwargs(obj_cls, args: dict) -> dict:
     for k, v in args.items():
         if k in fields:
             out[k] = v
-        elif (obj_cls.__name__, k) not in _warned_dropped:
+        elif k not in _SILENT_DROP and (obj_cls.__name__,
+                                        k) not in _warned_dropped:
             _warned_dropped.add((obj_cls.__name__, k))
             import warnings
             warnings.warn(f"{obj_cls.__name__}: dropping config key {k!r} "

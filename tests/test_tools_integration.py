@@ -133,3 +133,32 @@ def test_corrupt_insertion_like_robustness_tool(tiny_setup):
     ds = build_dataset(test_cfg)
     s = ds[0]
     assert s["img"].ndim == 3 or isinstance(s["img"], list)
+
+
+def test_video_demo_end_to_end(tiny_setup, tmp_path, monkeypatch):
+    """demo/video_demo.py (reference demo/video_demo.py): synth a 6-frame
+    video, run the CLI main, assert an annotated video is written."""
+    import subprocess
+    import sys as _sys
+    cfg_path, root = tiny_setup
+    import cv2
+    src = str(tmp_path / "in.mp4")
+    wtr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 5, (96, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(6):
+        wtr.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    wtr.release()
+    out = str(tmp_path / "out.mp4")
+
+    demo_dir = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                        "demo")
+    _sys.path.insert(0, demo_dir)
+    try:
+        import video_demo
+        monkeypatch.setattr(_sys, "argv",
+                            ["video_demo.py", src, cfg_path, "--out", out,
+                             "--score-thr", "0.0"])
+        video_demo.main()
+    finally:
+        _sys.path.remove(demo_dir)
+    assert osp.exists(out) and osp.getsize(out) > 0
