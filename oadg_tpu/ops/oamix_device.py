@@ -46,7 +46,7 @@ from __future__ import annotations
 import math
 from functools import partial
 import os as _os
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,13 @@ MAX_ML = 2          # multilevel random boxes: target = randint(1,3) in {1,2}
 MAX_OA = 5          # oa random boxes: min(max(n_lowsal,1),5)
 MAX_FG = 16         # GT boxes participating in per-box warps / oa mixing
 ATTEMPTS = 8        # redraws per random-box slot (reference: up to 50)
+
+
+def _use_pw_geo() -> bool:
+    # Route bboxes_only_* through the piecewise-shift Pallas kernel
+    # (vs the per-pixel XLA gather path). TPU only; env-togglable.
+    return (jax.devices()[0].platform != "cpu"
+            and bool(_os.environ.get("OAMIX_GEO_PW")))
 
 
 # ---------------------------------------------------------------- masks ----
@@ -346,6 +353,8 @@ class _FgInfo(NamedTuple):
     # so they cross (are materialized at) every conditional boundary — the
     # dominant per-execution cost. int8 indexes MAX_FG=16; bf16 blend
     # weights cost <=0.4% of one intensity level.
+    pw_x: Optional[tuple] = None   # pw_prep(best_id) for row-shift passes
+    pw_y: Optional[tuple] = None   # pw_prep(best_id.T) for the y pass
 
 
 def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
@@ -434,11 +443,12 @@ def _apply_geo_bboxes_only_pw(img, fg: _FgInfo, family_idx, key,
                              jnp.where(use_x[None, :], 0.0, ty[None, :])))
     p3 = jnp.where(is_rot, p1, 0.0)
     bid = fg.best_id.astype(jnp.int32)
-    out = piecewise_shift_rows(img, bid, p1, 512)
+    out = piecewise_shift_rows(img, bid, p1, 512, prep=fg.pw_x)
     out = jnp.transpose(
         piecewise_shift_rows(jnp.transpose(out, (1, 0, 2)),
-                             jnp.transpose(bid), p2, 768), (1, 0, 2))
-    out = piecewise_shift_rows(out, bid, p3, 512)
+                             jnp.transpose(bid), p2, 768, prep=fg.pw_y),
+        (1, 0, 2))
+    out = piecewise_shift_rows(out, bid, p3, 512, prep=fg.pw_x)
     cov = fg.cover.astype(jnp.float32)[..., None]
     out = img * (1.0 - cov) + out * cov
     return jnp.clip(jnp.round(out), 0, 255)
@@ -538,8 +548,7 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
         # per-box loop scaling + bid-map prep with >8 spread gt boxes —
         # measured neutral end-to-end on the flagship batch, so the gather
         # path stays the default. Flip with OAMIX_GEO_PW=1.
-        if (jax.devices()[0].platform != "cpu"
-                and _os.environ.get("OAMIX_GEO_PW")):
+        if _use_pw_geo():
             return _apply_geo_bboxes_only_pw(img, fg, family_idx, k,
                                              severity)
         ms = jnp.stack([
@@ -661,7 +670,14 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         fg_boxes, fg_valid)
     best_id, cover, union = _precompute_fg_maps(fg_boxes, fg_valid, h, w,
                                                 sigma_ratio)
-    fg = _FgInfo(fg_boxes, fg_valid, scores, best_id, cover, union)
+    pw_x = pw_y = None
+    if _use_pw_geo():
+        from .pallas_warp import pw_prep
+        bid32 = best_id.astype(jnp.int32)
+        pw_x = pw_prep(bid32, max_fg, 3)
+        pw_y = pw_prep(jnp.transpose(bid32), max_fg, 3)
+    fg = _FgInfo(fg_boxes, fg_valid, scores, best_id, cover, union,
+                 pw_x=pw_x, pw_y=pw_y)
 
     # Dirichlet chain weights + all op draws up front
     ws = jax.random.dirichlet(keys[1], jnp.ones((width,)))

@@ -64,28 +64,37 @@ GROUP_ROWS = 8          # one vreg of sublanes
 MAX_RESID = 16          # per-group shift span bound (slope*c <= 1.5, 8 rows)
 
 
+def _resid_roll(t, resid, s_len, max_resid=MAX_RESID):
+    """Apply a per-row left-shift of resid[r] in [0, MAX_RESID) to an
+    (8, S) tile via binary decomposition: log2(MAX_RESID) stages of one
+    uniform roll + one per-row select each (rolls compose additively per
+    row), instead of MAX_RESID materialized candidates. 4 rolls + 4
+    selects vs 32 rolls + 32 selects."""
+    d = 1
+    while d < max_resid:
+        rolled = pltpu.roll(t, shift=s_len - d, axis=1)
+        t = jnp.where((resid & d) != 0, rolled, t)
+        d *= 2
+    return t
+
+
 def _shear_kernel_v3(base_ref, img_ref, resid_ref, frac_ref, out_ref, *,
                      c: int, wc: int):
     """(8, S)-tile formulation: rows sit on sublanes (native vreg layout),
     ONE dynamic lane-rotation by the group's base shift, then the per-row
     residual (< MAX_RESID by construction: shifts vary by at most slope*c
-    per row) is resolved with static rolls + per-row selects — every op is
-    a full-width vector op, no per-row scalar loops."""
+    per row) is resolved with binary-decomposed rolls + per-row selects —
+    every op is a full-width vector op, no per-row scalar loops."""
     i = pl.program_id(0)
     s_len = img_ref.shape[1]
     tile = img_ref[:, :]
     t0 = pltpu.roll(tile, shift=s_len - base_ref[i], axis=1)
     resid = resid_ref[:, :]                          # (8, 1) int32
     frac = frac_ref[:, :]                            # (8, 1) f32
-    acc_a = jnp.zeros((tile.shape[0], wc), tile.dtype)
-    acc_b = jnp.zeros((tile.shape[0], wc), tile.dtype)
-    for d in range(MAX_RESID):
-        ra = pltpu.roll(t0, shift=s_len - d, axis=1)[:, :wc]
-        rb = pltpu.roll(t0, shift=s_len - d - c, axis=1)[:, :wc]
-        sel = resid == d
-        acc_a = jnp.where(sel, ra, acc_a)
-        acc_b = jnp.where(sel, rb, acc_b)
-    out_ref[:, :] = acc_a * (1.0 - frac) + acc_b * frac
+    t = _resid_roll(t0, resid, s_len)
+    a = t[:, :wc]
+    b = pltpu.roll(t, shift=s_len - c, axis=1)[:, :wc]
+    out_ref[:, :] = a * (1.0 - frac) + b * frac
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
@@ -329,29 +338,40 @@ def _pw_shift_kernel(base_ref, pres_ref, img_ref, bid_ref, resid_ref,
             t_g = pltpu.roll(tile, shift=s_len - base_ref[i, gi], axis=1)
             resid = resid_ref[:, gi:gi + 1]
             frac = frac_ref[:, gi:gi + 1]
-            acc_a = jnp.zeros((tile.shape[0], wc), tile.dtype)
-            acc_b = jnp.zeros((tile.shape[0], wc), tile.dtype)
-            for d in range(PW_MAX_RESID):
-                sel = resid == d
-                ra = pltpu.roll(t_g, shift=s_len - d, axis=1)[:, :wc]
-                rb = pltpu.roll(t_g, shift=s_len - d - c, axis=1)[:, :wc]
-                acc_a = jnp.where(sel, ra, acc_a)
-                acc_b = jnp.where(sel, rb, acc_b)
-            val = acc_a * (1.0 - frac) + acc_b * frac
+            t = _resid_roll(t_g, resid, s_len, PW_MAX_RESID)
+            a = t[:, :wc]
+            b = pltpu.roll(t, shift=s_len - c, axis=1)[:, :wc]
+            val = a * (1.0 - frac) + b * frac
             out_ref[:, :] = jnp.where(bid == gi, val, out_ref[:, :])
+
+
+def pw_prep(bid: jnp.ndarray, g: int, c: int):
+    """Precompute the per-view constants of piecewise_shift_rows for a
+    fixed box-id map: channel-flattened bid and the per-8-row-block box
+    presence mask. Hoisting this out of the per-aug-call path amortizes it
+    across the ~8 geo calls x 3 passes of a train step."""
+    h, w = bid.shape
+    hb = pl.cdiv(h, GROUP_ROWS)
+    bid_blocks = bid.reshape(hb, GROUP_ROWS * w)
+    pres = jax.vmap(
+        lambda bb: jnp.zeros((g,), jnp.int32).at[bb].add(1))(bid_blocks)
+    pres = (pres > 0).astype(jnp.int32)                # (HB, G)
+    bid_flat = jnp.repeat(bid, c, axis=1).astype(jnp.int32)  # (H, W*C)
+    return bid_flat, pres
 
 
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
 def piecewise_shift_rows(img: jnp.ndarray, bid: jnp.ndarray,
                          shifts: jnp.ndarray, max_shift: int,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False, prep=None) -> jnp.ndarray:
     """out[y, x] = lerp(img[y, x + shifts[y, bid[y, x]]]) — per-row,
     per-box horizontal shift with linear interpolation, zero border.
 
     img (H, W, C); bid (H, W) int32 in [0, G); shifts (H, G) float
     (clipped to ±max_shift). The per-box shift must vary by < PW_MAX_RESID
     flat elements across any 8 consecutive rows (slope*c bound — true for
-    OA-Mix's |slope| <= sin(30deg), c = 3).
+    OA-Mix's |slope| <= sin(30deg), c = 3). ``prep`` takes the
+    pw_prep(bid, ...) result to skip recomputing the bid-derived maps.
     """
     h, w, c = img.shape
     g = shifts.shape[1]
@@ -380,12 +400,7 @@ def piecewise_shift_rows(img: jnp.ndarray, bid: jnp.ndarray,
     base = jnp.min(grp, axis=1)                        # (HB, G)
     resid = jnp.clip(grp - base[:, None, :], 0,
                      PW_MAX_RESID - 1).reshape(h, g).astype(jnp.int32)
-    # presence: does the block contain any pixel of box gi?
-    bid_blocks = bid.reshape(hb, GROUP_ROWS * w)
-    pres = jax.vmap(
-        lambda bb: jnp.zeros((g,), jnp.int32).at[bb].add(1))(bid_blocks)
-    pres = (pres > 0).astype(jnp.int32)                # (HB, G)
-    bid_flat = jnp.repeat(bid, c, axis=1).astype(jnp.int32)  # (H, wc)
+    bid_flat, pres = prep if prep is not None else pw_prep(bid, g, c)
     kernel = functools.partial(_pw_shift_kernel, c=c, wc=wc, g=g,
                                pad_flat=pad * c)
     out = pl.pallas_call(
