@@ -66,9 +66,12 @@ ATTEMPTS = 8        # redraws per random-box slot (reference: up to 50)
 
 def _use_pw_geo() -> bool:
     # Route bboxes_only_* through the piecewise-shift Pallas kernel
-    # (vs the per-pixel XLA gather path). TPU only; env-togglable.
+    # (vs the per-pixel XLA gather path). Default ON for TPU since the
+    # binary-decomposed-roll kernel + hoisted per-view prep measured
+    # 0.525 s/step vs 0.827 on the flagship bench (OAMIX_GEO_PW=0 opts
+    # back into the gather path).
     return (jax.devices()[0].platform != "cpu"
-            and bool(_os.environ.get("OAMIX_GEO_PW")))
+            and _os.environ.get("OAMIX_GEO_PW", "1") != "0")
 
 
 # ---------------------------------------------------------------- masks ----
@@ -543,11 +546,10 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     family_idx = jnp.clip((op_idx - n_photo) % 3, 0, 2)
 
     def br_geo_bbox(k):
-        # The piecewise Pallas path wins only for few/localized boxes
-        # (kernel 7 ms worst-case vs 31 ms gathers) but loses its edge to
-        # per-box loop scaling + bid-map prep with >8 spread gt boxes —
-        # measured neutral end-to-end on the flagship batch, so the gather
-        # path stays the default. Flip with OAMIX_GEO_PW=1.
+        # Piecewise Pallas path (default on TPU): with binary-decomposed
+        # residual rolls and per-view prep hoisting it wins decisively
+        # (flagship bench 0.525 vs 0.827 s/step); OAMIX_GEO_PW=0 restores
+        # the per-pixel gather path.
         if _use_pw_geo():
             return _apply_geo_bboxes_only_pw(img, fg, family_idx, k,
                                              severity)
