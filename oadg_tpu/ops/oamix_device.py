@@ -695,39 +695,48 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     call_keys = jax.random.split(k_calls, width * max_depth * n_slots)
     call_keys = call_keys.reshape(width, max_depth, n_slots, -1)
 
-    # chain-and-mix
-    def chain(wi, kc):
+    # chain-and-mix. Structured as lax.scan over width and over slots so
+    # the big _aug_once subgraph (a ~14-branch lax.switch whose bodies
+    # include the warp kernels) is TRACED ONCE per depth body instead of
+    # width x slots times — the chain dominated the step's compile time.
+    # scan (unlike vmap) keeps lax.switch a real conditional: only each
+    # step's sampled op executes.
+    slot_masks = jnp.concatenate(
+        [ml_masks, (1.0 - union_mask)[None]], axis=0)          # (S+1, H, W)
+    slot_active = jnp.concatenate([ml_valid, jnp.ones((1,), bool)])
+
+    def chain_body(acc, xs):
+        kc, wgt, ck_w, od_w = xs
         depth = (depth_cfg if depth_cfg > 0
                  else jax.random.randint(kc, (), 1, 4))
 
         def depth_step(d, img_aug16):
-            img_tmp = jnp.zeros(img_aug16.shape, jnp.float32)
-            for s in range(MAX_ML):
-                out_s = _aug_once(img_aug16, call_keys[wi, d, s],
-                                  op_draw[wi, d, s], fg, img_shape,
+            def slot_body(img_tmp, sx):
+                ck, od, mask, act = sx
+                out_s = _aug_once(img_aug16, ck, od, fg, img_shape,
                                   severity, version,
-                                  active=ml_valid[s]).astype(jnp.float32)
-                img_tmp = img_tmp + ml_masks[s][..., None] * out_s
-            out_bg = _aug_once(img_aug16, call_keys[wi, d, MAX_ML],
-                               op_draw[wi, d, MAX_ML], fg, img_shape,
-                               severity, version).astype(jnp.float32)
-            new = img_tmp + (1.0 - union_mask[..., None]) * out_bg
+                                  active=act).astype(jnp.float32)
+                return img_tmp + mask[..., None] * out_s, None
+
+            img_tmp, _ = jax.lax.scan(
+                slot_body, jnp.zeros(img_aug16.shape, jnp.float32),
+                (ck_w[d], od_w[d], slot_masks, slot_active))
             # uint8-valued after clip+round: exact in bf16
-            return jnp.clip(jnp.round(new), 0, 255).astype(jnp.bfloat16)
+            return jnp.clip(jnp.round(img_tmp), 0, 255).astype(jnp.bfloat16)
 
         # traced upper bound: only `depth` iterations actually execute
         # (E[depth]=2 of max 3 — a masked static loop would waste ~1/3)
         out16 = jax.lax.fori_loop(0, depth, depth_step,
                                   img.astype(jnp.bfloat16))
-        return out16.astype(jnp.float32)
+        return acc + wgt * out16.astype(jnp.float32), None
 
     chain_keys = jax.random.split(keys[5], width)
     if _os.environ.get("OAMIX_SKIP_CHAIN"):      # profiling knob
         img_oamix = img * 1.0000001
     else:
-        img_oamix = jnp.zeros_like(img)
-        for i in range(width):
-            img_oamix = img_oamix + ws[i] * chain(i, chain_keys[i])
+        img_oamix, _ = jax.lax.scan(
+            chain_body, jnp.zeros_like(img),
+            (chain_keys, ws, call_keys, op_draw))
 
     # object-aware mixing regions: low-saliency fg + oa random boxes
     low_sal = fg_valid & (scores <= float(cfg.get("score_thresh", 10)))
@@ -758,33 +767,52 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     region_scores = jnp.concatenate([scores, oa_scores], axis=0)
     mix_us = jax.random.uniform(keys[4], (region_boxes.shape[0],))
 
-    def mix_body(i, carry):
-        orig, aug, mask_sum = carry
-        m = jnp.where(region_valid[i],
-                      _blurred_box_mask(region_boxes[i], h, w, sigma_ratio),
-                      0.0)
-        new_sum = mask_sum + m
-        mask_max = jnp.maximum(mask_sum, m)
-        overlap = new_sum - mask_max
-        u = mix_us[i]
-        m_oa = jnp.where(region_scores[i] <= float(cfg.get("score_thresh", 10)),
-                         u * 0.5, u)
-        wgt = (m - overlap * 0.5)[..., None]
-        orig = orig + (1.0 - m_oa) * img * wgt
-        aug = aug + m_oa * img_oamix * wgt
-        return orig, aug, mask_max
+    # Per-pixel region masks via separable 1-D profiles (R*W + R*H erf
+    # evaluations once, one outer product per loop iteration) instead of a
+    # full-resolution erf evaluation per region — and the carries are the
+    # two scalar WEIGHT maps, not weighted images: orig/aug factor as
+    # img * sum_i (1-m_oa_i) wgt_i and img_oamix * sum_i m_oa_i wgt_i, so
+    # the (H, W, 3) FMAs happen once after the loop. Also uses
+    # a + b - max(a, b) == min(a, b) for the overlap term.
+    def reg_profiles(box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        sx = jnp.maximum((x2 - x1) * sigma_ratio * 2.0 / 3.0, 1e-3)
+        sy = jnp.maximum((y2 - y1) * sigma_ratio * 2.0 / 3.0, 1e-3)
+        xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+        ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+        fx = (_box_blur_1d(xs, x1, x2, sx) + _box_blur_1d(-xs, x1, x2, sx)
+              + _box_blur_1d(2.0 * w - xs, x1, x2, sx))
+        fy = (_box_blur_1d(ys, y1, y2, sy) + _box_blur_1d(-ys, y1, y2, sy)
+              + _box_blur_1d(2.0 * h - ys, y1, y2, sy))
+        return jnp.clip(fx, 0.0, 1.0), jnp.clip(fy, 0.0, 1.0)
 
-    zeros = jnp.zeros_like(img)
+    rfx, rfy = jax.vmap(reg_profiles)(region_boxes)   # (R, W), (R, H)
+    score_thr = float(cfg.get("score_thresh", 10))
+
+    def mix_body(i, carry):
+        a_w, b_w, mask_sum = carry                    # (H, W) each
+        m = jnp.where(region_valid[i], rfy[i][:, None] * rfx[i][None, :],
+                      0.0)
+        overlap = jnp.minimum(mask_sum, m)
+        u = mix_us[i]
+        m_oa = jnp.where(region_scores[i] <= score_thr, u * 0.5, u)
+        wgt = m - overlap * 0.5
+        a_w = a_w + (1.0 - m_oa) * wgt
+        b_w = b_w + m_oa * wgt
+        return a_w, b_w, jnp.maximum(mask_sum, m)
+
+    zhw = jnp.zeros((h, w))
     if _os.environ.get("OAMIX_SKIP_MIX"):        # profiling knob
-        orig, aug, mask_sum = zeros, zeros, jnp.zeros((h, w))
+        a_w, b_w, mask_sum = zhw, zhw, zhw
     else:
-        orig, aug, mask_sum = jax.lax.fori_loop(
-            0, region_boxes.shape[0], mix_body,
-            (zeros, zeros, jnp.zeros((h, w))))
+        a_w, b_w, mask_sum = jax.lax.fori_loop(
+            0, region_boxes.shape[0], mix_body, (zhw, zhw, zhw))
 
     m_global = jax.random.beta(keys[5], 1.0, 1.0)
-    rest = (1.0 - mask_sum)[..., None]
-    out = orig + aug + (1.0 - m_global) * img * rest + m_global * img_oamix * rest
+    rest = 1.0 - mask_sum
+    ow = a_w + (1.0 - m_global) * rest                # img weight
+    aw = b_w + m_global * rest                        # img_oamix weight
+    out = img * ow[..., None] + img_oamix * aw[..., None]
     out = jnp.clip(out, 0, 255)
     return out, ml_boxes, ml_valid, oa_boxes, oa_valid
 
@@ -823,13 +851,18 @@ def oamix_batch(img_raw, gt_bboxes, gt_valid, img_shape, key,
             oam = (jnp.zeros((MAX_OA, 4)), jnp.zeros((MAX_OA,), bool))
         return (jnp.stack(views), ml[0], ml[1], oam[0], oam[1])
 
-    # trace-time loop over the (small, static) batch instead of vmap: under
-    # vmap every lax.switch branch would execute for every image; unrolled,
-    # only each image's sampled ops run.
+    # lax.scan over the batch instead of vmap: under vmap every lax.switch
+    # branch would execute for every image, while scan keeps the switch a
+    # real conditional (only each image's sampled ops run) AND traces the
+    # per-image pipeline once regardless of batch size (a trace-time
+    # unroll multiplied the step's compile time by b).
     keys = jax.random.split(key, b)
-    outs = [per_image(img_raw[i], gt_bboxes[i], gt_valid[i], img_shape[i],
-                      keys[i]) for i in range(b)]
-    aug, mlb, mlv, oab, oav = (jnp.stack([o[j] for o in outs])
-                               for j in range(5))
+
+    def scan_im(_, xs):
+        img, gt, gtv, shape, k = xs
+        return None, per_image(img, gt, gtv, shape, k)
+
+    _, (aug, mlb, mlv, oab, oav) = jax.lax.scan(
+        scan_im, None, (img_raw, gt_bboxes, gt_valid, img_shape, keys))
     return dict(aug=aug, multilevel_boxes=mlb, multilevel_valid=mlv,
                 oamix_boxes=oab, oamix_valid=oav)
