@@ -46,11 +46,12 @@ def main():
 
     det = build_detector(model, num_views=num_views, dtype=jnp.bfloat16)
     # loader-format batch: B clean samples; OA-Mix + view integration run
-    # on-device inside the step (engine/preprocess.py)
-    batch = _train_batch(b, h, w, g=16)
-    rng0 = np.random.RandomState(1)
-    batch["img_raw"] = jnp.asarray(
-        rng0.randint(0, 256, (b, h, w, 3)).astype(np.float32))
+    # on-device inside the step (engine/preprocess.py). The batch is
+    # GENERATED on device and synced — in this environment host->device
+    # rides a <0.1 MB/s tunnel, and an uploaded batch was billed to
+    # "compile" (the lowering blocks on the device queue).
+    from __graft_entry__ import _train_batch_device
+    batch = _train_batch_device(b, h, w, g=16, raw=True)
     preprocess = make_oadg_preprocess(dict(cfg.oamix_config),
                                       dict(cfg.img_norm_cfg))
 

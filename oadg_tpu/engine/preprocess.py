@@ -15,16 +15,24 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..ops.oamix_device import oamix_batch
 
 
 def make_oadg_preprocess(oamix_cfg: Dict[str, Any],
                          img_norm_cfg: Dict[str, Any]) -> Callable:
-    """Build the (batch, key) -> views-major batch function."""
-    mean = jnp.asarray(img_norm_cfg.get("mean", [123.675, 116.28, 103.53]),
-                       jnp.float32)
-    std = jnp.asarray(img_norm_cfg.get("std", [58.395, 57.12, 57.375]),
-                      jnp.float32)
+    """Build the (batch, key) -> views-major batch function.
+
+    The norm constants stay numpy (host) on purpose: a jnp.asarray here
+    would live on the accelerator and jit-lowering would BLOCK fetching it
+    back behind everything queued on the device (measured 569 s behind a
+    pending tunnel upload).
+    """
+    mean = np.asarray(img_norm_cfg.get("mean", [123.675, 116.28, 103.53]),
+                      np.float32)
+    std = np.asarray(img_norm_cfg.get("std", [58.395, 57.12, 57.375]),
+                     np.float32)
     to_rgb = bool(img_norm_cfg.get("to_rgb", True))
     num_views = int(oamix_cfg.get("num_views", 2))
     cfg = dict(oamix_cfg)

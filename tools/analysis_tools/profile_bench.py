@@ -31,16 +31,14 @@ def main():
     w = int(os.environ.get("BENCH_W", "2048"))
     prof_dir = os.environ.get("PROF_DIR", "/tmp/jaxprof_bench")
 
+    from __graft_entry__ import _train_batch_device
     det = build_detector(model, num_views=num_views, dtype=jnp.bfloat16)
-    batch = _train_batch(b, h, w, g=16)
-    rng0 = np.random.RandomState(1)
     preprocess = None
     if os.environ.get("PROF_NO_PREPROCESS"):
         # feed the already-integrated multi-view batch directly
-        batch = _train_batch(b * num_views, h, w, g=16)
+        batch = _train_batch_device(b * num_views, h, w, g=16)
     else:
-        batch["img_raw"] = jnp.asarray(
-            rng0.randint(0, 256, (b, h, w, 3)).astype(np.float32))
+        batch = _train_batch_device(b, h, w, g=16, raw=True)
         preprocess = make_oadg_preprocess(dict(cfg.oamix_config),
                                           dict(cfg.img_norm_cfg))
 
