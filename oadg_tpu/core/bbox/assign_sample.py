@@ -231,17 +231,30 @@ class RandomSampler:
 
     def sample_masks(self, key: jax.Array, assign: AssignResult) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Mask-only variant (no gather) for dense heads: returns
-        (pos_mask, neg_mask) over all N candidates."""
+        (pos_mask, neg_mask) over all N candidates.
+
+        Selection uses top_k(num) over random priorities instead of a
+        full argsort rank: dense heads sample a few hundred of ~800k
+        anchors, and the two 786k argsorts per image were a measurable
+        slice of the train step. A top-k of uniform scores is the same
+        uniform k-subset draw.
+        """
         num = self.num
         max_pos = int(round(num * self.pos_fraction))
         is_pos_all = assign.gt_inds > 0
         is_neg_all = assign.gt_inds == 0
+        n = is_pos_all.shape[0]
         kp, kn = jax.random.split(key)
-        pos_rank = _random_rank(kp, is_pos_all)
-        pos_sel = is_pos_all & (pos_rank < max_pos)
+
+        def pick(k, mask, k_static, cutoff):
+            scores = jax.random.uniform(k, (n,)) + jnp.where(mask, 0.0, -2.0)
+            vals, idx = jax.lax.top_k(scores, min(k_static, n))
+            keep = (vals > -1.0) & (jnp.arange(min(k_static, n)) < cutoff)
+            return jnp.zeros((n,), bool).at[idx].set(keep)
+
+        pos_sel = pick(kp, is_pos_all, max_pos, max_pos)
         neg_needed = num - jnp.sum(pos_sel)
-        neg_rank = _random_rank(kn, is_neg_all)
-        neg_sel = is_neg_all & (neg_rank < neg_needed)
+        neg_sel = pick(kn, is_neg_all, num, neg_needed)
         return pos_sel, neg_sel
 
 
