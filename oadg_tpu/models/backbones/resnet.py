@@ -11,14 +11,16 @@ TPU-native differences:
 - NHWC layout with bf16-friendly compute; BN is frozen-statistics affine
   (see models/layers.py) matching ``norm_eval=True`` training.
 - ``frozen_stages`` does not gate module construction — freezing is a
-  gradient mask applied in the optimizer (engine/optim.py), which keeps the
-  forward graph static and lets XLA fuse freely.
+  gradient mask applied in the optimizer (engine/optim.py) plus a
+  ``stop_gradient`` at the frozen-stage boundary so XLA skips the frozen
+  stages' backward convs entirely (they run at the largest spatial sizes).
 """
 from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES
@@ -142,6 +144,12 @@ class ResNet(nn.Module):
             x = norm()(x)
             x = nn.relu(x)
         x = max_pool_3x3_s2(x)
+        if self.frozen_stages >= 0:
+            # frozen params get no update anyway (optimizer mask); cutting
+            # the gradient here also skips the frozen stages' backward convs
+            # entirely (stem + layer1 run at the largest spatial size, so
+            # this is a real step-time win, not just bookkeeping).
+            x = jax.lax.stop_gradient(x)
 
         outs = []
         expansion = 4 if block is Bottleneck else 1
@@ -158,6 +166,8 @@ class ResNet(nn.Module):
                 x = block(planes, stride, self.dilations[i], downsample,
                           self.style, self.norm_cfg or dict(type="BN"),
                           self.dtype, name=f"layer{i+1}_{j}", **kw)(x)
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
@@ -228,6 +238,8 @@ class ResNeXt(ResNet):
         x = norm()(x)
         x = fnn.relu(x)
         x = max_pool_3x3_s2(x)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
         outs = []
         for i in range(self.num_stages):
             planes = self.base_channels * 2 ** i
@@ -239,6 +251,8 @@ class ResNeXt(ResNet):
                                 self.style, self.norm_cfg or dict(type="BN"),
                                 self.groups, self.base_width, self.dtype,
                                 name=f"layer{i+1}_{j}")(x)
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
@@ -316,6 +330,8 @@ class Res2Net(ResNet):
             x = norm()(x)
             x = nn.relu(x)
         x = max_pool_3x3_s2(x)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
         outs = []
         for i in range(self.num_stages):
             planes = self.base_channels * 2 ** i
@@ -327,6 +343,8 @@ class Res2Net(ResNet):
                                 self.style, self.norm_cfg or dict(type="BN"),
                                 self.scales, self.base_width, self.dtype,
                                 name=f"layer{i+1}_{j}")(x)
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -119,7 +119,13 @@ class RPNHead(nn.Module):
             labels = jnp.where(pos, 0, self.num_classes)         # fg label = 0
             label_w = (pos | neg).astype(jnp.float32)
             matched = jnp.clip(assign.gt_inds - 1, 0, gt.shape[0] - 1)
-            deltas = self.coder.encode(anchors, gt[matched])
+            # gt[matched] as a one-hot matmul: a row gather of (K,) tiny
+            # 4-float rows is scalar-indexed on TPU (~5 ms at flagship
+            # shapes); (K, G) @ (G, 4) rides the MXU. HIGHEST precision so
+            # pixel coordinates survive exactly (one-hot rows are exact).
+            onehot = jax.nn.one_hot(matched, gt.shape[0], dtype=jnp.float32)
+            mgt = jnp.matmul(onehot, gt, precision=jax.lax.Precision.HIGHEST)
+            deltas = self.coder.encode(anchors, mgt)
             bbox_w = pos.astype(jnp.float32)[:, None] * jnp.ones((1, 4))
             return labels, label_w, deltas, bbox_w, pos, neg
 

@@ -342,11 +342,15 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
     gpt = (g.astype(jnp.float32) / (sr * sr))          # (R, out, out, C)
     gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
     gpt = gpt.reshape(rois.shape[0], out * sr, out * sr, c)
-    d_table = jnp.zeros((n_rows, c), jnp.float32)
-    for rows_i, w in taps:
-        upd = gpt * w[..., None]
-        d_table = d_table.at[rows_i.reshape(-1)].add(
-            upd.reshape(-1, c), mode="drop")
+    # ONE scatter-add over all 4 taps: four separate .at[].add calls compile
+    # to four sequential full passes over the (n_rows, C) f32 buffer
+    # (~9 ms each at flagship shapes — read+write of a ~700 MB table per
+    # tap); concatenating rows/updates makes the buffer traffic one pass.
+    rows_all = jnp.concatenate([rows_i.reshape(-1) for rows_i, _ in taps])
+    upds_all = jnp.concatenate(
+        [(gpt * w[..., None]).reshape(-1, c) for _, w in taps])
+    d_table = jnp.zeros((n_rows, c), jnp.float32).at[rows_all].add(
+        upds_all, mode="drop")
     d_feats = []
     start = 0
     for (shape, dt) in shapes:

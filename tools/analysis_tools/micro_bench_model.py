@@ -90,11 +90,13 @@ def main():
         t = timeit(g, params, batch, jax.random.PRNGKey(3))
         print(f"full train fwd+bwd:     {t*1000:8.1f} ms")
 
-    if "rpn" in pieces:
-        # fixed features -> rpn_head loss (assign/sample/targets included)
+    feats = None
+    if {"rpn", "props", "roi"} & set(pieces):
         feats = jax.jit(feat_fwd)(img)
         feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
 
+    if "rpn" in pieces:
+        # fixed features -> rpn_head loss (assign/sample/targets included)
         def rpn_loss(p, feats, key):
             vs = {"params": p}
             if bs is not None:
@@ -109,6 +111,72 @@ def main():
         g = jax.jit(jax.value_and_grad(rpn_loss))
         t = timeit(g, params, feats, jax.random.PRNGKey(3))
         print(f"rpn loss fwd+bwd:       {t*1000:8.1f} ms")
+
+    if "props" in pieces or "roi" in pieces:
+        # fixed features -> rpn forward + get_proposals (NMS path, no grad)
+        nv = det.num_views
+        b = img.shape[0] // nv
+
+        def props_fn(p, feats):
+            vs = {"params": p}
+            if bs is not None:
+                vs["batch_stats"] = bs
+
+            def run(d, feats):
+                cls_scores, bbox_preds = d.rpn(feats)
+                pc = dict(d.train_cfg or {}).get(
+                    "rpn_proposal", dict(d.test_cfg or {}).get("rpn", {}))
+                return d.rpn.get_proposals(
+                    [s[:b] for s in cls_scores], [q[:b] for q in bbox_preds],
+                    batch["img_shape"][:b], pc)
+            return det.apply(vs, feats, method=run)
+        props_j = jax.jit(props_fn)
+        if "props" in pieces:
+            t = timeit(props_j, params, feats)
+            print(f"rpn fwd+proposals:      {t*1000:8.1f} ms")
+        pb, _, pv = props_j(params, feats)
+        pb = jnp.concatenate([pb] * nv, axis=0)
+        pv = jnp.concatenate([pv] * nv, axis=0)
+        pb = jax.lax.stop_gradient(pb)
+
+    if "roi" in pieces:
+        # fixed features + proposals -> roi head loss (assign/sample/
+        # RoIAlign/bbox head/OA losses included)
+        def roi_loss(p, feats, pb, pv, key):
+            vs = {"params": p}
+            if bs is not None:
+                vs["batch_stats"] = bs
+
+            def run(d, feats):
+                rp = rvv = None
+                if d.random_proposal_cfg is not None:
+                    rp, rvv = d._random_proposals(batch, jax.random.fold_in(key, 1))
+                return d.roi.loss(
+                    feats, pb, pv, batch["gt_bboxes"], batch["gt_valid"],
+                    batch["gt_labels"], key, random_proposals=rp,
+                    random_valid=rvv, gt_masks=batch.get("gt_masks"))
+            losses = det.apply(vs, feats, method=run)
+            return sum(jnp.sum(v) for v in losses.values())
+        g = jax.jit(jax.value_and_grad(roi_loss))
+        t = timeit(g, params, feats, pb, pv, jax.random.PRNGKey(3))
+        print(f"roi loss fwd+bwd:       {t*1000:8.1f} ms")
+
+    trace_dir = os.environ.get("TRACE")
+    if trace_dir and "full_fwd" in pieces:
+        def full_loss(p, batch, key):
+            vs = {"params": p}
+            if bs is not None:
+                vs["batch_stats"] = bs
+            losses = det.apply(vs, batch, "train", rngs={"sampling": key})
+            return sum(jnp.sum(v) for k, v in losses.items() if "loss" in k)
+        g = jax.jit(jax.grad(full_loss))
+        out = g(params, batch, jax.random.PRNGKey(3))
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        with jax.profiler.trace(trace_dir):
+            for _i in range(3):
+                out = g(params, batch, jax.random.PRNGKey(3))
+                _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        print(f"trace written to {trace_dir}")
 
 
 if __name__ == "__main__":
