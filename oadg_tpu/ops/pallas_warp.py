@@ -353,9 +353,12 @@ def pw_prep(bid: jnp.ndarray, g: int, c: int):
     h, w = bid.shape
     hb = pl.cdiv(h, GROUP_ROWS)
     bid_blocks = bid.reshape(hb, GROUP_ROWS * w)
-    pres = jax.vmap(
-        lambda bb: jnp.zeros((g,), jnp.int32).at[bb].add(1))(bid_blocks)
-    pres = (pres > 0).astype(jnp.int32)                # (HB, G)
+    # presence = does box gi appear anywhere in the 8-row block? An
+    # equality-compare + any-reduce; the earlier vmapped scatter-add
+    # formulation lowered to ~36 ms of serialized XLA scatter per call.
+    ids = jnp.arange(g, dtype=bid_blocks.dtype)
+    pres = (bid_blocks[:, :, None] == ids[None, None, :]).any(axis=1)
+    pres = pres.astype(jnp.int32)                      # (HB, G)
     bid_flat = jnp.repeat(bid, c, axis=1).astype(jnp.int32)  # (H, W*C)
     return bid_flat, pres
 
