@@ -389,6 +389,250 @@ class CutOut:
 
 
 @PIPELINES.register_module()
+class RandomShift:
+    """Integer-pixel image+bbox shift (reference transforms.py RandomShift).
+
+    With probability ``shift_ratio`` draws integer shifts in
+    [-max_shift_px, max_shift_px] per axis, translates all bbox_fields
+    (clipped to the image), drops boxes whose w/h fall to
+    ``filter_thr_px`` or less, and pastes the image onto a zero canvas at
+    the shifted position. If the shift would leave no valid gt box the
+    sample is returned unchanged (reference semantics).
+    """
+
+    def __init__(self, shift_ratio=0.5, max_shift_px=32, filter_thr_px=1):
+        assert 0 <= shift_ratio <= 1 and max_shift_px >= 0
+        self.shift_ratio = shift_ratio
+        self.max_shift_px = max_shift_px
+        self.filter_thr_px = int(filter_thr_px)
+
+    def __call__(self, results):
+        if np.random.rand() >= self.shift_ratio:
+            return results
+        h, w = results["img"].shape[:2]
+        sx = np.random.randint(-self.max_shift_px, self.max_shift_px + 1)
+        sy = np.random.randint(-self.max_shift_px, self.max_shift_px + 1)
+
+        shifted = {}
+        for key in results.get("bbox_fields", []):
+            b = results[key].copy()
+            b[..., 0::2] = np.clip(b[..., 0::2] + sx, 0, w)
+            b[..., 1::2] = np.clip(b[..., 1::2] + sy, 0, h)
+            keep = ((b[..., 2] - b[..., 0] > self.filter_thr_px)
+                    & (b[..., 3] - b[..., 1] > self.filter_thr_px))
+            if key == "gt_bboxes" and not keep.any():
+                return results
+            shifted[key] = (b[keep], keep)
+        for key, (b, keep) in shifted.items():
+            results[key] = b
+            if key == "gt_bboxes" and "gt_labels" in results:
+                results["gt_labels"] = results["gt_labels"][keep]
+        for key in results.get("img_fields", ["img"]):
+            img = results[key]
+            canvas = np.zeros_like(img)
+            nh, nw = h - abs(sy), w - abs(sx)
+            dy, oy = max(0, sy), max(0, -sy)
+            dx, ox = max(0, sx), max(0, -sx)
+            canvas[dy:dy + nh, dx:dx + nw] = img[oy:oy + nh, ox:ox + nw]
+            results[key] = canvas
+        return results
+
+
+@PIPELINES.register_module()
+class SegRescale:
+    """Rescale seg_fields by a fixed factor, nearest-neighbour (reference
+    transforms.py SegRescale)."""
+
+    def __init__(self, scale_factor=1, backend="cv2"):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results):
+        if self.scale_factor == 1:
+            return results
+        for key in results.get("seg_fields", []):
+            seg = results[key]
+            h, w = seg.shape[:2]
+            nw = int(w * self.scale_factor + 0.5)
+            nh = int(h * self.scale_factor + 0.5)
+            results[key] = cv2.resize(seg, (nw, nh),
+                                      interpolation=cv2.INTER_NEAREST)
+        return results
+
+
+@PIPELINES.register_module()
+class YOLOXHSVRandomAug:
+    """YOLOX-style random HSV jitter (reference transforms.py
+    YOLOXHSVRandomAug): per-channel integer gains, hue wraps mod 180,
+    saturation/value clip to [0, 255]."""
+
+    def __init__(self, hue_delta=5, saturation_delta=30, value_delta=30):
+        self.hue_delta = hue_delta
+        self.saturation_delta = saturation_delta
+        self.value_delta = value_delta
+
+    def __call__(self, results):
+        img = results["img"]
+        deltas = (self.hue_delta, self.saturation_delta, self.value_delta)
+        gains = (np.random.uniform(-1, 1, 3) * deltas
+                 * np.random.randint(0, 2, 3)).astype(np.int16)
+        hsv = cv2.cvtColor(img.astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + gains[0]) % 180
+        hsv[..., 1] = np.clip(hsv[..., 1] + gains[1], 0, 255)
+        hsv[..., 2] = np.clip(hsv[..., 2] + gains[2], 0, 255)
+        results["img"] = cv2.cvtColor(hsv.astype(np.uint8),
+                                      cv2.COLOR_HSV2BGR).astype(img.dtype)
+        return results
+
+
+@PIPELINES.register_module()
+class UniformNoise:
+    """Additive uniform noise in normalized [0,1] space (reference
+    transforms.py UniformNoise)."""
+
+    def __init__(self, low=0.0, high=0.01):
+        self.low = low
+        self.high = high
+
+    def __call__(self, results):
+        img = results["img"]
+        noise = np.random.uniform(self.low, self.high, img.shape)
+        results["img"] = np.clip(img / 255.0 + noise, 0, 1) * 255
+        return results
+
+
+@PIPELINES.register_module()
+class GaussianNoise:
+    """Additive Gaussian noise in normalized [0,1] space, applied with
+    probability ``prob`` (reference transforms.py GaussianNoise)."""
+
+    def __init__(self, mean=0.0, scale=0.08, prob=0.5):
+        self.mean = mean
+        self.scale = scale
+        self.prob = prob
+
+    def __call__(self, results):
+        if np.random.rand() >= self.prob:
+            return results
+        img = results["img"]
+        noise = np.random.normal(self.mean, self.scale, img.shape)
+        results["img"] = np.clip(img / 255.0 + noise, 0, 1) * 255
+        return results
+
+
+@PIPELINES.register_module()
+class RandomCenterCropPad:
+    """CornerNet-style random center crop with around-padding (reference
+    transforms.py RandomCenterCropPad).
+
+    Train: output shape = random ratio x crop_size; a random center is
+    drawn inside a border-restricted range; the overlap with the original
+    image is pasted centered onto a mean-filled canvas; boxes whose center
+    falls outside the cropped patch are dropped. Test: pads the whole image
+    around its center to ``logical_or``/``size_divisor`` shape and records
+    the paste ``border``.
+    """
+
+    def __init__(self, crop_size=None, ratios=(0.9, 1.0, 1.1), border=128,
+                 mean=None, std=None, to_rgb=None, test_mode=False,
+                 test_pad_mode=("logical_or", 127), test_pad_add_pix=0,
+                 bbox_clip_border=True):
+        assert mean is not None and std is not None and to_rgb is not None
+        self.crop_size = crop_size
+        self.ratios = ratios
+        self.border = border
+        self.mean = list(mean[::-1]) if to_rgb else list(mean)
+        self.test_mode = test_mode
+        self.test_pad_mode = test_pad_mode
+        self.test_pad_add_pix = test_pad_add_pix
+        self.bbox_clip_border = bbox_clip_border
+
+    @staticmethod
+    def _center_border(border, size):
+        # shrink the border by powers of 2 until a non-empty center range
+        # remains (reference _get_border)
+        k = 2 * border / size
+        i = 2 ** (np.ceil(np.log2(np.ceil(k))) + (k == int(k)))
+        return int(border // i)
+
+    def _paste(self, img, cy, cx, th, tw):
+        h, w, c = img.shape
+        x0, x1 = max(0, cx - tw // 2), min(cx + tw // 2, w)
+        y0, y1 = max(0, cy - th // 2), min(cy + th // 2, h)
+        canvas = np.empty((th, tw, c), img.dtype)
+        canvas[...] = self.mean
+        ccy, ccx = th // 2, tw // 2
+        top, bottom = cy - y0, y1 - cy
+        left, right = cx - x0, x1 - cx
+        canvas[ccy - top:ccy + bottom, ccx - left:ccx + right] = \
+            img[y0:y1, x0:x1]
+        border = np.array([ccy - top, ccy + bottom, ccx - left, ccx + right],
+                          np.float32)
+        return canvas, border, np.array([x0, y0, x1, y1])
+
+    @staticmethod
+    def _center_in(patch, boxes):
+        c = (boxes[:, :2] + boxes[:, 2:4]) / 2
+        return ((c[:, 0] > patch[0]) & (c[:, 1] > patch[1])
+                & (c[:, 0] < patch[2]) & (c[:, 1] < patch[3]))
+
+    def __call__(self, results):
+        img = results["img"]
+        assert img.dtype == np.float32, (
+            "RandomCenterCropPad needs float32 input (set to_float32=True "
+            "in LoadImageFromFile)")
+        h, w, _ = img.shape
+        if self.test_mode:
+            mode, val = self.test_pad_mode[0], self.test_pad_mode[1]
+            if mode == "logical_or":
+                th = (h | val) + self.test_pad_add_pix
+                tw = (w | val) + self.test_pad_add_pix
+            else:                                       # 'size_divisor'
+                th = int(np.ceil(h / val)) * val
+                tw = int(np.ceil(w / val)) * val
+            canvas, border, _ = self._paste(img, h // 2, w // 2, th, tw)
+            results["img"] = canvas
+            results["img_shape"] = (h, w, img.shape[2])
+            results["pad_shape"] = canvas.shape
+            results["border"] = border
+            return results
+
+        boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        while True:
+            ratio = self.ratios[np.random.randint(len(self.ratios))]
+            th = int(self.crop_size[0] * ratio)
+            tw = int(self.crop_size[1] * ratio)
+            hb = self._center_border(self.border, h)
+            wb = self._center_border(self.border, w)
+            for _ in range(50):
+                cx = np.random.randint(wb, w - wb)
+                cy = np.random.randint(hb, h - hb)
+                canvas, _, patch = self._paste(img, cy, cx, th, tw)
+                if len(boxes) and not self._center_in(patch, boxes).any():
+                    continue
+                results["img"] = canvas
+                results["img_shape"] = canvas.shape
+                results["pad_shape"] = canvas.shape
+                x0, y0 = patch[0], patch[1]
+                off_x = tw // 2 - (cx - x0) - x0
+                off_y = th // 2 - (cy - y0) - y0
+                for key in results.get("bbox_fields", []):
+                    mask = self._center_in(patch, results[key])
+                    b = results[key][mask].copy()
+                    b[:, 0:4:2] += off_x
+                    b[:, 1:4:2] += off_y
+                    if self.bbox_clip_border:
+                        b[:, 0:4:2] = np.clip(b[:, 0:4:2], 0, tw)
+                        b[:, 1:4:2] = np.clip(b[:, 1:4:2], 0, th)
+                    keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+                    results[key] = b[keep]
+                    if key == "gt_bboxes" and "gt_labels" in results:
+                        results["gt_labels"] = \
+                            results["gt_labels"][mask][keep]
+                return results
+
+
+@PIPELINES.register_module()
 class Albu:
     """Albumentations wrapper (reference transforms.py Albu). The package is
     not in this image; constructing this op raises with a clear message."""
