@@ -5,14 +5,18 @@ base anchors per level from (scales x ratios) around stride-sized cells
 (ratio-major, scale-minor ordering), grid priors location-major with anchors
 innermost, matching the (H, W, A, C) reshape of head predictions.
 
-Anchors are static given featmap shapes, so they are generated host-side in
-numpy once per (input-shape, level) and closed over by the jitted step —
-no device compute is wasted regenerating them.
+Anchor grids are *computed with jnp inside the trace* (iota + broadcast
+add of the tiny base-anchor table). A host-side numpy precompute closed
+over by the jitted step embeds the full (H*W*A, 4) grid as a dense
+StableHLO constant — measured 33.5 MB of HLO text for the flagship
+1024x2048 step (the whole rest of the program was ~1.5 MB), which every
+trace/lower/cache-hash pays. Staged iota costs a few ops and fuses.
 """
 from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ...utils.registry import PRIOR_GENERATORS
@@ -82,7 +86,7 @@ class AnchorGenerator:
         ], axis=-1)
         return base_anchors.astype(np.float32)
 
-    def grid_priors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[np.ndarray]:
+    def grid_priors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[jnp.ndarray]:
         """Per-level anchors, shape (H*W*A, 4), location-major."""
         assert len(featmap_sizes) == self.num_levels
         return [
@@ -90,17 +94,22 @@ class AnchorGenerator:
             for i in range(self.num_levels)
         ]
 
-    def single_level_grid_priors(self, featmap_size, level_idx) -> np.ndarray:
+    def grid_priors_cat(self, featmap_sizes) -> jnp.ndarray:
+        """All levels concatenated, (sum(H*W*A), 4)."""
+        return jnp.concatenate(self.grid_priors(featmap_sizes), axis=0)
+
+    def single_level_grid_priors(self, featmap_size, level_idx) -> jnp.ndarray:
         feat_h, feat_w = featmap_size
         stride_w, stride_h = self.strides[level_idx]
-        shift_x = np.arange(0, feat_w, dtype=np.float32) * stride_w
-        shift_y = np.arange(0, feat_h, dtype=np.float32) * stride_h
-        shift_xx = np.tile(shift_x, feat_h)
-        shift_yy = np.repeat(shift_y, feat_w)
-        shifts = np.stack([shift_xx, shift_yy, shift_xx, shift_yy], axis=-1)
-        base = self.base_anchors[level_idx]
-        all_anchors = base[None, :, :] + shifts[:, None, :]
-        return all_anchors.reshape(-1, 4).astype(np.float32)
+        # jnp (staged iota) on purpose — see module docstring
+        shift_x = jnp.arange(0, feat_w, dtype=jnp.float32) * stride_w
+        shift_y = jnp.arange(0, feat_h, dtype=jnp.float32) * stride_h
+        xx = jnp.broadcast_to(shift_x[None, :], (feat_h, feat_w))
+        yy = jnp.broadcast_to(shift_y[:, None], (feat_h, feat_w))
+        shifts = jnp.stack([xx, yy, xx, yy], axis=-1)          # (H, W, 4)
+        base = jnp.asarray(self.base_anchors[level_idx])       # (A, 4) tiny
+        all_anchors = base[None, None, :, :] + shifts[:, :, None, :]
+        return all_anchors.reshape(-1, 4)
 
     def valid_flags(self, featmap_sizes, pad_shape) -> List[np.ndarray]:
         """Per-level bool flags for anchors whose center cell lies inside the
@@ -112,12 +121,10 @@ class AnchorGenerator:
             h, w = pad_shape[:2]
             valid_feat_h = min(int(np.ceil(h / self.strides[i][1])), feat_h)
             valid_feat_w = min(int(np.ceil(w / self.strides[i][0])), feat_w)
-            valid_x = np.zeros(feat_w, dtype=bool)
-            valid_y = np.zeros(feat_h, dtype=bool)
-            valid_x[:valid_feat_w] = True
-            valid_y[:valid_feat_h] = True
+            valid_x = jnp.arange(feat_w) < valid_feat_w
+            valid_y = jnp.arange(feat_h) < valid_feat_h
             valid = (valid_y[:, None] & valid_x[None, :]).reshape(-1)
-            valid = np.repeat(valid, self.num_base_anchors[i])
+            valid = jnp.repeat(valid, self.num_base_anchors[i])
             multi_level_flags.append(valid)
         return multi_level_flags
 

@@ -111,7 +111,7 @@ class ATSSHead(nn.Module):
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
         per_level = self.prior_gen.grid_priors(featmap_sizes)
         num_level = [len(a) for a in per_level]
-        anchors = jnp.asarray(np.concatenate(per_level))
+        anchors = jnp.concatenate(per_level)
         cls = jnp.concatenate(
             [s.reshape(n, -1, self.num_classes) for s in cls_scores], axis=1)
         reg = jnp.concatenate(

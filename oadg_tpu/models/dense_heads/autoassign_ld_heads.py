@@ -236,8 +236,7 @@ class PISARetinaHead(RetinaHead):
         cls_scores, bbox_preds = outs
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         cls = jnp.concatenate(
             [s.reshape(n, -1, self.num_classes) for s in cls_scores],
             axis=1).astype(jnp.float32)

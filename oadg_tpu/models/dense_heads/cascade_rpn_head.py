@@ -103,8 +103,7 @@ class CascadeRPNHead(nn.Module):
         points, sids = _level_points(featmap_sizes, self.strides)
         strides_pp = jnp.asarray(np.asarray(self.strides,
                                             np.float32))[sids]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         r1 = jnp.concatenate([x.reshape(n, -1, 4) for x in reg1s], 1)
         r2 = jnp.concatenate([x.reshape(n, -1, 4) for x in reg2s], 1)
         c2 = jnp.concatenate([x.reshape(n, -1) for x in cls2s], 1)
@@ -149,8 +148,7 @@ class CascadeRPNHead(nn.Module):
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
         points, sids = _level_points(featmap_sizes, self.strides)
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         c2 = jnp.concatenate([x.reshape(n, -1) for x in cls_scores], 1)
         r2 = jnp.concatenate([x.reshape(n, -1, 4) for x in bbox_preds], 1)
         r1 = jnp.concatenate([x.reshape(n, -1, 4) for x in reg1s], 1) \

@@ -83,16 +83,17 @@ class FCOSHead(nn.Module):
         return cls_scores, bbox_preds, ctrs
 
     def _points(self, featmap_sizes):
+        # jnp (staged iota), not numpy: a host-side grid would embed a
+        # (sum HW, 2) dense constant in the HLO (see core/anchor docstring)
         pts, strides = [], []
         for (h, w), s in zip(featmap_sizes, self.strides):
-            xs = (np.arange(w) + 0.5) * s
-            ys = (np.arange(h) + 0.5) * s
-            px = np.tile(xs, h)
-            py = np.repeat(ys, w)
-            pts.append(np.stack([px, py], -1))
-            strides.append(np.full(h * w, s, np.float32))
-        return (jnp.asarray(np.concatenate(pts).astype(np.float32)),
-                jnp.asarray(np.concatenate(strides)))
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
+            px = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
+            py = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
+            pts.append(jnp.stack([px, py], -1))
+            strides.append(jnp.full((h * w,), s, jnp.float32))
+        return jnp.concatenate(pts), jnp.concatenate(strides)
 
     def _targets_single(self, points, ranges, gt, gtv, gtl):
         """(P, 2) points -> labels (P,), bbox_targets (P, 4), ctr (P,)."""

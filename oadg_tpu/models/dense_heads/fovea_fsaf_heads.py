@@ -30,14 +30,17 @@ INF = 1e8
 
 
 def _level_points(featmap_sizes, strides, offset=0.5):
+    # jnp (staged iota), not numpy: a host grid would embed a dense
+    # (sum HW, 2) constant in the HLO (see core/anchor docstring)
     pts, sids = [], []
     for li, ((h, w), s) in enumerate(zip(featmap_sizes, strides)):
-        xs = (np.arange(w) + offset) * s
-        ys = (np.arange(h) + offset) * s
-        pts.append(np.stack([np.tile(xs, h), np.repeat(ys, w)], -1))
-        sids.append(np.full(h * w, li, np.int32))
-    return (jnp.asarray(np.concatenate(pts).astype(np.float32)),
-            jnp.asarray(np.concatenate(sids)))
+        xs = (jnp.arange(w, dtype=jnp.float32) + offset) * s
+        ys = (jnp.arange(h, dtype=jnp.float32) + offset) * s
+        px = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
+        py = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
+        pts.append(jnp.stack([px, py], -1))
+        sids.append(jnp.full((h * w,), li, jnp.int32))
+    return jnp.concatenate(pts), jnp.concatenate(sids)
 
 
 @HEADS.register_module()

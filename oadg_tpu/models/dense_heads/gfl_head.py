@@ -102,11 +102,11 @@ class GFLHead(nn.Module):
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
         per_level = self.prior_gen.grid_priors(featmap_sizes)
         num_level = [len(a) for a in per_level]
-        anchors = jnp.asarray(np.concatenate(per_level))
+        anchors = jnp.concatenate(per_level)
         centers = (anchors[:, :2] + anchors[:, 2:]) * 0.5
-        stride_arr = jnp.asarray(np.concatenate([
-            np.full((nl,), s, np.float32)
-            for nl, s in zip(num_level, self.strides)]))
+        stride_arr = jnp.concatenate([
+            jnp.full((nl,), s, jnp.float32)
+            for nl, s in zip(num_level, self.strides)])
         cls = jnp.concatenate([s.reshape(n, -1, self.num_classes)
                                for s in cls_scores], 1).astype(jnp.float32)
         reg = jnp.concatenate([b.reshape(n, -1, nbins)

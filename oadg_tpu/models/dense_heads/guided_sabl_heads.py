@@ -470,8 +470,7 @@ class SABLRetinaHead(nn.Module):
         cls_scores, bcls, breg = outs
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         cls = jnp.concatenate([c.reshape(n, -1, self.num_classes)
                                for c in cls_scores], 1)
         bc = jnp.concatenate([c.reshape(n, -1, 4, self.num_buckets)
@@ -533,8 +532,7 @@ class SABLRetinaHead(nn.Module):
         max_per_img = int(cfg.get("max_per_img", 100))
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         cls = jnp.concatenate([c.reshape(n, -1, self.num_classes)
                                for c in cls_scores], 1)
         bc = jnp.concatenate([c.reshape(n, -1, 4, self.num_buckets)

@@ -354,8 +354,7 @@ class YOLACTHead(nn.Module):
         cls_scores, bbox_preds, coeffs, protos, segm = outs
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         nc = self.num_classes
         cls = jnp.concatenate([s.reshape(n, -1, nc + 1)
                                for s in cls_scores], 1)
@@ -420,8 +419,7 @@ class YOLACTHead(nn.Module):
         max_per_img = int(cfg.get("max_per_img", 100))
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         nc = self.num_classes
         cls = jnp.concatenate([s.reshape(n, -1, nc + 1)
                                for s in cls_scores], 1)

@@ -105,7 +105,7 @@ class PAAHead(RetinaHead):
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
         per_level = self.prior_gen.grid_priors(featmap_sizes)
-        anchors = jnp.asarray(np.concatenate(per_level))
+        anchors = jnp.concatenate(per_level)
         nlb = [a.shape[0] for a in per_level]
         cls = jnp.concatenate([s.reshape(n, -1, self.num_classes)
                                for s in cls_scores], 1).astype(jnp.float32)

@@ -91,8 +91,7 @@ class RPNHead(nn.Module):
     # ---------------- anchors ----------------
 
     def _anchors(self, featmap_sizes) -> jnp.ndarray:
-        per_level = self.prior_gen.grid_priors(featmap_sizes)
-        return jnp.asarray(np.concatenate(per_level, axis=0))   # (K, 4)
+        return self.prior_gen.grid_priors_cat(featmap_sizes)    # (K, 4)
 
     # ---------------- training ----------------
 

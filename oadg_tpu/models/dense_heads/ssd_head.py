@@ -72,8 +72,7 @@ class SSDHead(nn.Module):
         n = cls_scores[0].shape[0]
         nc1 = self.num_classes + 1
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         cls = jnp.concatenate([s.reshape(n, -1, nc1) for s in cls_scores],
                               axis=1).astype(jnp.float32)
         reg = jnp.concatenate([b.reshape(n, -1, 4) for b in bbox_preds],
@@ -120,8 +119,7 @@ class SSDHead(nn.Module):
         n = cls_scores[0].shape[0]
         nc1 = self.num_classes + 1
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         cls = jnp.concatenate([s.reshape(n, -1, nc1) for s in cls_scores],
                               axis=1).astype(jnp.float32)
         reg = jnp.concatenate([b.reshape(n, -1, 4) for b in bbox_preds],

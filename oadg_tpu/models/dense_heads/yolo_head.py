@@ -37,21 +37,22 @@ class YOLOAnchorGenerator:
     def num_base_priors(self):
         return [len(b) for b in self.base_sizes]
 
-    def grid_priors(self, featmap_sizes) -> List[np.ndarray]:
+    def grid_priors(self, featmap_sizes) -> List[jnp.ndarray]:
+        # jnp (staged iota), not numpy — a host grid would embed a dense
+        # (HWA, 4) constant in the HLO (see core/anchor docstring)
         out = []
         for (h, w), sizes, (sw, sh) in zip(featmap_sizes, self.base_sizes,
                                            self.strides):
-            cx = (np.arange(w) + 0.5) * sw
-            cy = (np.arange(h) + 0.5) * sh
-            cxx = np.tile(cx, h)
-            cyy = np.repeat(cy, w)
+            cx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * sw
+            cy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * sh
+            cxx = jnp.broadcast_to(cx[None, :], (h, w)).reshape(-1)
+            cyy = jnp.broadcast_to(cy[:, None], (h, w)).reshape(-1)
             anchors = []
             for (bw, bh) in sizes:
-                anchors.append(np.stack([cxx - bw / 2, cyy - bh / 2,
-                                         cxx + bw / 2, cyy + bh / 2], -1))
+                anchors.append(jnp.stack([cxx - bw / 2, cyy - bh / 2,
+                                          cxx + bw / 2, cyy + bh / 2], -1))
             # location-major, anchors innermost
-            a = np.stack(anchors, axis=1).reshape(-1, 4)
-            out.append(a.astype(np.float32))
+            out.append(jnp.stack(anchors, axis=1).reshape(-1, 4))
         return out
 
     def responsible_indices(self, featmap_sizes):
@@ -177,11 +178,10 @@ class YOLOV3Head(nn.Module):
         n = pred_maps[0].shape[0]
         featmap_sizes = [tuple(m.shape[1:3]) for m in pred_maps]
         anchors_np = self.prior_gen.grid_priors(featmap_sizes)
-        strides_np = np.concatenate([
-            np.full(len(a), s, np.float32)
+        strides = jnp.concatenate([
+            jnp.full((len(a),), s, jnp.float32)
             for a, s in zip(anchors_np, self.featmap_strides)])
-        anchors = jnp.asarray(np.concatenate(anchors_np))
-        strides = jnp.asarray(strides_np)
+        anchors = jnp.concatenate(anchors_np)
         cell_ids = None
 
         pred = jnp.concatenate(
@@ -320,10 +320,10 @@ class YOLOV3HeadCont(YOLOV3Head):
                     [c.reshape(n, -1, self.cont_feat_channels)
                      for c in cont_maps], featmap_sizes, reps)], axis=1)
             anchors_np = self.prior_gen.grid_priors(featmap_sizes)
-            anchors = jnp.asarray(np.concatenate(anchors_np))
-            strides = jnp.asarray(np.concatenate([
-                np.full(len(a), s, np.float32)
-                for a, s in zip(anchors_np, self.featmap_strides)]))
+            anchors = jnp.concatenate(anchors_np)
+            strides = jnp.concatenate([
+                jnp.full((len(a),), s, jnp.float32)
+                for a, s in zip(anchors_np, self.featmap_strides)])
             target, _ = jax.vmap(
                 lambda g, vv, l: self._targets_single(anchors, None, strides,
                                                       g, vv, l))(

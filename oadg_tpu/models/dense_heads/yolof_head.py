@@ -103,8 +103,7 @@ class YOLOFHead(nn.Module):
         cls_scores, bbox_preds = outs
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         cls = cls_scores[0].reshape(n, -1, self.num_classes)
         reg = bbox_preds[0].reshape(n, -1, 4)
         decoded = self.coder.decode(anchors[None], reg)
@@ -164,8 +163,7 @@ class YOLOFHead(nn.Module):
         iou_thr = float(dict(cfg.get("nms", {})).get("iou_threshold", 0.6))
         max_per_img = int(cfg.get("max_per_img", 100))
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-        anchors = jnp.asarray(np.concatenate(
-            self.prior_gen.grid_priors(featmap_sizes)))
+        anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
 
         def one(sc, rg, shape, sf):
             sc = jax.nn.sigmoid(sc.reshape(-1, self.num_classes)

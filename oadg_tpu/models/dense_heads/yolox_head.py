@@ -100,14 +100,16 @@ class YOLOXHead(nn.Module):
         return (cls_scores, bbox_preds, objectnesses)
 
     def _points(self, featmap_sizes):
+        # jnp (staged iota), not numpy — avoids dense HLO grid constants
         pts, strides = [], []
         for (h, w), s in zip(featmap_sizes, self.strides):
-            ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-            pts.append(np.stack([(xs.ravel() + 0.5) * s,
-                                 (ys.ravel() + 0.5) * s], -1))
-            strides.append(np.full((h * w,), s, np.float32))
-        return (jnp.asarray(np.concatenate(pts).astype(np.float32)),
-                jnp.asarray(np.concatenate(strides)))
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
+            px = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
+            py = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
+            pts.append(jnp.stack([px, py], -1))
+            strides.append(jnp.full((h * w,), s, jnp.float32))
+        return jnp.concatenate(pts), jnp.concatenate(strides)
 
     def _decode(self, reg, pts, strides):
         xy = reg[..., :2] * strides[:, None] + pts

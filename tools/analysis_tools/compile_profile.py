@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--h", type=int, default=1024)
     ap.add_argument("--w", type=int, default=2048)
     ap.add_argument("--no-preprocess", action="store_true")
+    ap.add_argument("--lower-only", action="store_true",
+                    help="stop after lowering; print per-op-kind counts")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -94,7 +96,20 @@ def main():
         lowered = step.lower(*step_args)
         t_lower = time.perf_counter() - t0
 
-    hlo_bytes = len(lowered.as_text())
+    hlo_text = lowered.as_text()
+    hlo_bytes = len(hlo_text)
+
+    if args.lower_only:
+        import collections
+        import re
+        ops = collections.Counter(
+            re.findall(r"= \"?([a-z_]+\.[a-z_0-9]+)", hlo_text))
+        print(f"trace+lower_seconds     {t_lower:8.1f}" if t_lower else "")
+        print(f"stablehlo_text_bytes    {hlo_bytes:8d}")
+        print(f"stablehlo_total_ops     {sum(ops.values()):8d}")
+        for name, cnt in ops.most_common(25):
+            print(f"  {name:40s} {cnt:8d}")
+        return
 
     t0 = time.perf_counter()
     compiled = lowered.compile()
