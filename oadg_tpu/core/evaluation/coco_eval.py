@@ -47,10 +47,10 @@ def _iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray):
 
 
 def _evaluate_img(dets, det_scores, gts, gt_crowd, gt_area, area_rng,
-                  max_dets):
+                  max_dets, iou_thrs=IOU_THRS):
     """Match one (img, cat): returns det_matched (T, D), det_ignore (T, D),
     gt_ignore (G,), det scores (D,)."""
-    t = len(IOU_THRS)
+    t = len(iou_thrs)
     order = np.argsort(-det_scores, kind="mergesort")[:max_dets]
     dets = dets[order]
     det_scores = det_scores[order]
@@ -69,14 +69,14 @@ def _evaluate_img(dets, det_scores, gts, gt_crowd, gt_area, area_rng,
         # native matcher (native/eval_kernels.cpp coco_match)
         m, ig = coco_match(ious, gt_ig.astype(np.uint8),
                            crowd.astype(np.uint8),
-                           IOU_THRS.astype(np.float32))
+                           np.asarray(iou_thrs, np.float32))
         dt_m = m.astype(np.int64)
         dt_ig = ig.astype(bool)
     else:
         dt_m = np.zeros((t, d), dtype=np.int64) - 1
         gt_m = np.zeros((t, g), dtype=np.int64) - 1
         dt_ig = np.zeros((t, d), dtype=bool)
-        for ti, thr in enumerate(IOU_THRS):
+        for ti, thr in enumerate(iou_thrs):
             for di in range(d):
                 best_iou = min(thr, 1 - 1e-10)
                 best_g = -1
@@ -105,16 +105,26 @@ class COCOEvalBbox:
     gts: per image dict {cat_id: (boxes (n, 4) xywh, iscrowd (n,))}."""
 
     def __init__(self, gts: List[Dict], results: List[Dict],
-                 cat_ids: Sequence[int], max_dets=(1, 10, 100)):
+                 cat_ids: Sequence[int], max_dets=(1, 10, 100),
+                 iou_thrs=None, area_ranges=None):
+        """``iou_thrs`` / ``area_ranges`` default to the COCO protocol
+        (.5:.05:.95 / all-small-medium-large); custom values support the
+        error-analysis protocol (tools/analysis_tools/coco_error_analysis.py
+        evaluates at IoU 0.1 with remapped area groups, like pycocotools
+        params overrides in the reference tool)."""
         self.gts = gts
         self.results = results
         self.cat_ids = list(cat_ids)
         self.max_dets = max_dets
+        self.iou_thrs = (IOU_THRS if iou_thrs is None
+                         else np.asarray(iou_thrs, float))
+        self.area_ranges = (dict(AREA_RANGES) if area_ranges is None
+                            else dict(area_ranges))
 
     def accumulate(self) -> Dict[str, float]:
-        t = len(IOU_THRS)
+        t = len(self.iou_thrs)
         k = len(self.cat_ids)
-        a = len(AREA_RANGES)
+        a = len(self.area_ranges)
         m = len(self.max_dets)
         precision = -np.ones((t, len(REC_THRS), k, a, m))
         recall = -np.ones((t, k, a, m))
@@ -128,7 +138,7 @@ class COCOEvalBbox:
                 per_img.append((np.asarray(d, float),
                                 np.asarray(g_boxes, float),
                                 np.asarray(g_crowd, float)))
-            for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
+            for ai, (aname, arng) in enumerate(self.area_ranges.items()):
                 for mi, mdet in enumerate(self.max_dets):
                     matched_all, ignored_all, scores_all = [], [], []
                     n_gt = 0
@@ -136,7 +146,7 @@ class COCOEvalBbox:
                         garea = g[:, 2] * g[:, 3] if len(g) else np.zeros((0,))
                         dm, dig, gig, sc = _evaluate_img(
                             d[:, :4], d[:, 4] if len(d) else np.zeros((0,)),
-                            g, crowd, garea, arng, mdet)
+                            g, crowd, garea, arng, mdet, self.iou_thrs)
                         matched_all.append(dm)
                         ignored_all.append(dig)
                         scores_all.append(sc)
@@ -174,38 +184,46 @@ class COCOEvalBbox:
         return self.summarize()
 
     def _ap(self, iou=None, area="all", mdet=100):
-        ai = list(AREA_RANGES).index(area)
+        if area not in self.area_ranges:        # custom ranges: first = all
+            area = next(iter(self.area_ranges))
+        ai = list(self.area_ranges).index(area)
         mi = list(self.max_dets).index(mdet)
         p = self.precision[:, :, :, ai, mi]
         if iou is not None:
-            ti = int(np.argmin(np.abs(IOU_THRS - iou)))
+            ti = int(np.argmin(np.abs(self.iou_thrs - iou)))
             p = p[ti:ti + 1]
         p = p[p > -1]
         return float(np.mean(p)) if p.size else -1.0
 
     def _ar(self, iou=None, area="all", mdet=100):
-        ai = list(AREA_RANGES).index(area)
+        if area not in self.area_ranges:        # custom ranges: first = all
+            area = next(iter(self.area_ranges))
+        ai = list(self.area_ranges).index(area)
         mi = list(self.max_dets).index(mdet)
         r = self.recall[:, :, ai, mi]
         if iou is not None:
-            ti = int(np.argmin(np.abs(IOU_THRS - iou)))
+            ti = int(np.argmin(np.abs(self.iou_thrs - iou)))
             r = r[ti:ti + 1]
         r = r[r > -1]
         return float(np.mean(r)) if r.size else -1.0
 
     def summarize(self) -> Dict[str, float]:
         md = max(self.max_dets)
-        return {
+        out = {
             "bbox_mAP": self._ap(mdet=md),
             "bbox_mAP_50": self._ap(iou=0.5, mdet=md),
             "bbox_mAP_75": self._ap(iou=0.75, mdet=md),
-            "bbox_mAP_s": self._ap(area="small", mdet=md),
-            "bbox_mAP_m": self._ap(area="medium", mdet=md),
-            "bbox_mAP_l": self._ap(area="large", mdet=md),
-            "AR@1": self._ar(mdet=self.max_dets[0]),
-            "AR@10": self._ar(mdet=self.max_dets[1] if len(self.max_dets) > 1 else md),
-            "AR@100": self._ar(mdet=md),
-            "AR_s@100": self._ar(area="small", mdet=md),
-            "AR_m@100": self._ar(area="medium", mdet=md),
-            "AR_l@100": self._ar(area="large", mdet=md),
         }
+        # area-split metrics only exist under the standard protocol areas
+        # (custom area_ranges, e.g. the error-analysis tool's, skip them)
+        for key, area in (("s", "small"), ("m", "medium"), ("l", "large")):
+            if area in self.area_ranges:
+                out[f"bbox_mAP_{key}"] = self._ap(area=area, mdet=md)
+        out["AR@1"] = self._ar(mdet=self.max_dets[0])
+        if len(self.max_dets) > 1:
+            out["AR@10"] = self._ar(mdet=self.max_dets[1])
+        out[f"AR@{md}"] = self._ar(mdet=md)
+        for key, area in (("s", "small"), ("m", "medium"), ("l", "large")):
+            if area in self.area_ranges:
+                out[f"AR_{key}@{md}"] = self._ar(area=area, mdet=md)
+        return out

@@ -813,7 +813,13 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     ow = a_w + (1.0 - m_global) * rest                # img weight
     aw = b_w + m_global * rest                        # img_oamix weight
     out = img * ow[..., None] + img_oamix * aw[..., None]
-    out = jnp.clip(out, 0, 255)
+    # The reference stores the mixed view as uint8 (oa_mix.py:243
+    # np.asarray(img_oamix, np.uint8) truncates after the clip at :307).
+    # floor matches that truncation, and the integer-valued result is
+    # EXACT in bf16 — halving the batch-scan carry bandwidth (the
+    # (B, V-1, H, W, 3) dynamic-update-slice was the single biggest
+    # non-conv fusion in the step profile at f32).
+    out = jnp.floor(jnp.clip(out, 0, 255)).astype(jnp.bfloat16)
     return out, ml_boxes, ml_valid, oa_boxes, oa_valid
 
 
@@ -846,7 +852,7 @@ def oamix_batch(img_raw, gt_bboxes, gt_valid, img_shape, key,
             views.append(out)
             ml, oam = (mlb, mlv), (oab, oav)    # keep last view's (ref behavior)
         if not views:
-            views = [img]
+            views = [img.astype(jnp.bfloat16)]
             ml = (jnp.zeros((MAX_ML, 4)), jnp.zeros((MAX_ML,), bool))
             oam = (jnp.zeros((MAX_OA, 4)), jnp.zeros((MAX_OA,), bool))
         return (jnp.stack(views), ml[0], ml[1], oam[0], oam[1])

@@ -72,8 +72,12 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
     x = jnp.trunc(jnp.clip(img, 0, 255))                        # (H, W, C)
     c = x.shape[-1]
     bins = jnp.arange(256, dtype=jnp.float32)
-    flat = x.reshape(-1, c)                                     # (N, C)
-    hist = jnp.sum(flat[:, None, :] == bins[None, :, None], axis=0,
+    # both O(256*N) passes run in bf16 (0..255 integers are exact there):
+    # halves the dominant VPU compare/FMA traffic (measured ~29 ms/step on
+    # the flagship profile at f32)
+    flat16 = x.reshape(-1, c).astype(jnp.bfloat16)              # (N, C)
+    bins16 = bins.astype(jnp.bfloat16)
+    hist = jnp.sum(flat16[:, None, :] == bins16[None, :, None], axis=0,
                    dtype=jnp.int32)                             # (256, C)
     hist = hist.T                                               # (C, 256)
     idx = jnp.arange(256)
@@ -92,12 +96,14 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
                    // step_safe[:, None], 0, 255)
     use_ident = (n_nz <= 1) | (step == 0)
     lut = jnp.where(use_ident[:, None], idx[None, :], lut).astype(jnp.float32)
-    # monotone LUT application via threshold sum (no per-pixel gather)
+    # monotone LUT application via threshold sum (no per-pixel gather).
+    # bf16 term product, f32 accumulation: each term is an exact integer
+    # step (dlut entries are 0..255 ints), so only the sum needs f32.
     dlut = jnp.diff(lut, axis=1)                                # (C, 255)
-    thresholds = bins[1:]                                       # (255,)
-    ge = flat[:, None, :] >= thresholds[None, :, None]          # fused
+    ge = flat16[:, None, :] >= bins16[1:][None, :, None]        # fused
     out = lut[:, 0][None, :] + jnp.sum(
-        ge * dlut.T[None, :, :], axis=1)                        # (N, C)
+        ge * dlut.T[None, :, :].astype(jnp.bfloat16),
+        axis=1, dtype=jnp.float32)                              # (N, C)
     return out.reshape(x.shape)
 
 
