@@ -72,14 +72,13 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
     x = jnp.trunc(jnp.clip(img, 0, 255))                        # (H, W, C)
     c = x.shape[-1]
     bins = jnp.arange(256, dtype=jnp.float32)
-    # both O(256*N) passes run in bf16 (0..255 integers are exact there):
-    # halves the dominant VPU compare/FMA traffic (measured ~29 ms/step on
-    # the flagship profile at f32)
     flat16 = x.reshape(-1, c).astype(jnp.bfloat16)              # (N, C)
     bins16 = bins.astype(jnp.bfloat16)
-    hist = jnp.sum(flat16[:, None, :] == bins16[None, :, None], axis=0,
-                   dtype=jnp.int32)                             # (256, C)
-    hist = hist.T                                               # (C, 256)
+    # histogram via the Pallas VMEM-resident kernel: the XLA compare-reduce
+    # re-reads the image once per bin (~6 GB HBM traffic at 2M pixels,
+    # measured the largest OA-Mix op after the warps)
+    from .pallas_hist import hist256
+    hist = jnp.stack([hist256(x[..., ch]) for ch in range(c)])  # (C, 256)
     idx = jnp.arange(256)
     nz = hist > 0
     n_nz = jnp.sum(nz, axis=1)

@@ -160,20 +160,13 @@ def _roi_align_multilevel_impl(feats, rois, output_size: int = 7,
     hs = np.array([f.shape[1] for f in feats])
     ws = np.array([f.shape[2] for f in feats])
     level_off = np.concatenate([[0], np.cumsum(b * hs * ws)[:-1]])
-    # channel-QUAD table: row (y, x) holds the full bilinear stencil
-    # (f[y,x], f[y,x+1], f[y+1,x], f[y+1,x+1]) so each sample point costs
-    # ONE gather row (TPU gathers are row-rate-limited, ~13 ns/row
-    # regardless of width — two pair-table gathers per point measured
-    # ~11 ms/step; this halves the row count). Wrapped neighbors at the
-    # x = W-1 / y = H-1 edges are only read with weight 0 (the clipped
-    # coordinate forces fx/fy = 0 there).
-    def quad(f):
-        fx1 = jnp.concatenate([f[:, :, 1:], f[:, :, :1]], axis=2)
-        fy1 = jnp.concatenate([f[:, 1:], f[:, :1]], axis=1)
-        fxy = jnp.concatenate([fy1[:, :, 1:], fy1[:, :, :1]], axis=2)
-        return jnp.concatenate([f, fx1, fy1, fxy], axis=-1)
-    table_quad = jnp.concatenate(
-        [quad(f).reshape(-1, 4 * c) for f in feats], axis=0)
+    table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    # channel-paired table: row i holds (feat[i], feat[i+1]); one gather per
+    # y-tap then fetches both x-taps (TPU gathers cost per ROW — this halves
+    # them). The +1 neighbor crossing a row boundary is harmless: it is only
+    # read when fx > 0, which implies x0+1 is in-row.
+    table_pair = jnp.concatenate(
+        [table, jnp.concatenate([table[1:], table[:1]], axis=0)], axis=1)
     scales = np.array([1.0 / s for s in featmap_strides], np.float32)
 
     lvl = map_roi_levels(rois, num_levels, finest_scale)         # (R,)
@@ -220,20 +213,22 @@ def _roi_align_multilevel_impl(feats, rois, output_size: int = 7,
         y0i = jnp.floor(py).astype(jnp.int32)
         fx = px - x0i
         fy = py - y0i
+        y1i = jnp.minimum(y0i + 1, fhi[:, None] - 1)
 
-        lin = (off[:, None, None]
-               + ((bidx[:, None, None] * fhi[:, None, None]
-                   + y0i[:, :, None]) * fwi[:, None, None] + x0i[:, None, :]))
-        # mode="clip": indices are in-bounds by construction (coords are
-        # clamped above; padded RoIs resolve to level 0 / row 0). The
-        # default fill mode materializes a per-element oob select over
-        # the gather output (~9 ms/step at flagship).
-        vals = jnp.take(table_quad, lin.reshape(-1), axis=0, mode="clip")
-        vals = vals.reshape(y0i.shape[0], y0i.shape[1], x0i.shape[1], 4 * c)
-        v00 = vals[..., :c]
-        v01 = vals[..., c:2 * c]
-        v10 = vals[..., 2 * c:3 * c]
-        v11 = vals[..., 3 * c:]
+        def gather_pair(yi):
+            lin = (off[:, None, None]
+                   + ((bidx[:, None, None] * fhi[:, None, None] + yi[:, :, None])
+                      * fwi[:, None, None] + x0i[:, None, :]))
+            # mode="clip": indices are in-bounds by construction (coords are
+            # clamped above; padded RoIs resolve to level 0 / row 0). The
+            # default fill mode materializes a per-element oob select over
+            # the (chunk*S^2, 2C) gather output (~9 ms/step at flagship).
+            vals = jnp.take(table_pair, lin.reshape(-1), axis=0, mode="clip")
+            vals = vals.reshape(yi.shape[0], yi.shape[1], x0i.shape[1], 2 * c)
+            return vals[..., :c], vals[..., c:]
+
+        v00, v01 = gather_pair(y0i)
+        v10, v11 = gather_pair(y1i)
         wx = fx[:, None, :, None]
         wy = fy[:, :, None, None]
         val = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
@@ -351,40 +346,20 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
     gpt = (g.astype(jnp.float32) / (sr * sr))          # (R, out, out, C)
     gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
     gpt = gpt.reshape(rois.shape[0], out * sr, out * sr, c)
-    # TPU scatter-add is ROW-rate-limited (~20 ns/row regardless of row
-    # width, measured: 1.7M rows x 1KB moved only ~50 GB/s). So scatter
-    # each sample point ONCE: all 4 bilinear-tap contributions ride in a
-    # 4C-wide update keyed by the (y0, x0) corner row, then dense shifted
-    # adds fold the x+1 / y+1 / x+1,y+1 channels onto their true rows.
-    # Correctness of the folds: a clamped neighbor (x0 = W-1 or y0 = H-1)
-    # always carries weight 0 (px <= W-1 forces fx = 0 there), so no
-    # nonzero contribution ever crosses a level or image boundary.
-    (r00, w00), (_, w01), (_, w10), (_, w11) = taps
-    rows0 = r00.reshape(-1)
-    upds = jnp.concatenate(
-        [(gpt * w[..., None]).reshape(-1, c) for w in (w00, w01, w10, w11)],
-        axis=1)                                         # (R*S2, 4C)
-    d_quad = jnp.zeros((n_rows, 4 * c), jnp.float32).at[rows0].add(
-        upds, mode="drop")
-    d00 = d_quad[:, :c]
-    q01 = d_quad[:, c:2 * c]
-    q10 = d_quad[:, 2 * c:3 * c]
-    q11 = d_quad[:, 3 * c:]
-    # x+1 fold: row pitch 1 everywhere (within-row neighbor)
-    d00 = d00 + jnp.concatenate([jnp.zeros((1, c), jnp.float32), q01[:-1]],
-                                axis=0)
+    # ONE scatter-add over all 4 taps: four separate .at[].add calls compile
+    # to four sequential full passes over the (n_rows, C) f32 buffer
+    # (~9 ms each at flagship shapes — read+write of a ~700 MB table per
+    # tap); concatenating rows/updates makes the buffer traffic one pass.
+    rows_all = jnp.concatenate([rows_i.reshape(-1) for rows_i, _ in taps])
+    upds_all = jnp.concatenate(
+        [(gpt * w[..., None]).reshape(-1, c) for _, w in taps])
+    d_table = jnp.zeros((n_rows, c), jnp.float32).at[rows_all].add(
+        upds_all, mode="drop")
     d_feats = []
     start = 0
     for (shape, dt) in shapes:
         cnt = int(np.prod(shape[:3]))
-        w_l = shape[2]
-        dl = d00[start:start + cnt]
-        # y+1 fold: row pitch = this level's width
-        dl = dl + jnp.pad(q10[start:start + cnt - w_l],
-                          ((w_l, 0), (0, 0)))
-        dl = dl + jnp.pad(q11[start:start + cnt - w_l - 1],
-                          ((w_l + 1, 0), (0, 0)))
-        d_feats.append(dl.reshape(shape).astype(dt))
+        d_feats.append(d_table[start:start + cnt].reshape(shape).astype(dt))
         start += cnt
     return (list(d_feats), jnp.zeros_like(rois))
 
