@@ -87,38 +87,45 @@ def _test_pipeline(cfg) -> Compose:
     return Compose(pipeline)
 
 
+def prepare_batch(model: DetectorHandle, img) -> dict:
+    """Image path or array -> a 1-image test batch dict (the pipeline +
+    pad-to-32 step of ``inference_detector``, exposed for notebooks and
+    feature-visualization workflows)."""
+    pipeline = _test_pipeline(model.cfg)
+    if isinstance(img, str):
+        import cv2
+        arr = cv2.imread(img)
+        if arr is None:
+            raise FileNotFoundError(img)
+    else:
+        arr = np.asarray(img)
+    data = pipeline(dict(img=arr.copy(),
+                         img_info=dict(filename=None), img_prefix=None))
+    im = data["img"]
+    h, w = im.shape[:2]
+    d = 32
+    hp, wp = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
+    canvas = np.zeros((hp, wp, 3), np.float32)
+    canvas[:h, :w] = im
+    return {
+        "img": jnp.asarray(canvas[None]),
+        "img_shape": jnp.asarray([[h, w]], jnp.float32),
+        "scale_factor": jnp.asarray(
+            np.asarray(data["img_metas"].get("scale_factor",
+                                             [1, 1, 1, 1]),
+                       np.float32).reshape(1, -1)[:, :4]),
+    }
+
+
 def inference_detector(model: DetectorHandle, imgs) -> List[List[np.ndarray]]:
     """Run inference on image path(s) or array(s); returns per-class det
     lists like the reference (single input -> single result)."""
     single = not isinstance(imgs, (list, tuple))
     if single:
         imgs = [imgs]
-    pipeline = _test_pipeline(model.cfg)
     results = []
     for img in imgs:
-        if isinstance(img, str):
-            import cv2
-            arr = cv2.imread(img)
-            if arr is None:
-                raise FileNotFoundError(img)
-        else:
-            arr = np.asarray(img)
-        data = pipeline(dict(img=arr.copy(),
-                             img_info=dict(filename=None), img_prefix=None))
-        im = data["img"]
-        h, w = im.shape[:2]
-        d = 32
-        hp, wp = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
-        canvas = np.zeros((hp, wp, 3), np.float32)
-        canvas[:h, :w] = im
-        batch = {
-            "img": jnp.asarray(canvas[None]),
-            "img_shape": jnp.asarray([[h, w]], jnp.float32),
-            "scale_factor": jnp.asarray(
-                np.asarray(data["img_metas"].get("scale_factor",
-                                                 [1, 1, 1, 1]),
-                           np.float32).reshape(1, -1)[:, :4]),
-        }
+        batch = prepare_batch(model, img)
         dets, labels, valid = model.test(batch)
         v = np.asarray(valid[0])
         results.append(bbox2result(np.asarray(dets[0])[v],
