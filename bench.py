@@ -39,7 +39,12 @@ def main():
     cfg, model = _flagship_model_cfg(tiny=False)
     num_views = int(cfg.get("num_views", 2))
 
-    b = int(os.environ.get("BENCH_BATCH", "2"))          # clean samples/step
+    # Default per-chip batch 4 (clean samples; x2 views = 8 images/step):
+    # the throughput/chip sweet spot on a 16 GB v5e — batch 2 reaches 5.60
+    # samples/s, batch 4 reaches 7.69 (fixed per-step costs amortize),
+    # batch 8 exceeds HBM (20.5 G). The reference recipe's global batch is
+    # preserved by the pod shape (e.g. 2 chips x 4 = mmdet's 4 GPUs x 2).
+    b = int(os.environ.get("BENCH_BATCH", "4"))          # clean samples/step
     h = int(os.environ.get("BENCH_H", "1024"))
     w = int(os.environ.get("BENCH_W", "2048"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
