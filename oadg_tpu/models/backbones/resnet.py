@@ -125,6 +125,7 @@ class ResNet(nn.Module):
     stage_with_dcn: Any = (False, False, False, False)
     norm_cfg: Any = None
     norm_eval: bool = True           # always true on TPU (frozen-stats BN)
+    with_cp: bool = False            # activation checkpointing (jax remat)
     init_cfg: Any = None             # checkpoint init handled by converter
     dtype: Any = None
 
@@ -163,9 +164,15 @@ class ResNet(nn.Module):
                                     and self.stage_with_dcn[i]
                                     and block is Bottleneck) else None)
                 kw = {} if block is BasicBlock else {"dcn": dcn}
-                x = block(planes, stride, self.dilations[i], downsample,
-                          self.style, self.norm_cfg or dict(type="BN"),
-                          self.dtype, name=f"layer{i+1}_{j}", **kw)(x)
+                # with_cp: the reference wraps each block in
+                # torch.utils.checkpoint (resnet.py:87); the TPU-native
+                # form is nn.remat — activations recompute in the backward
+                # pass, trading FLOPs for HBM (enables larger per-chip
+                # batches; e.g. batch 8 at 1024x2048 OOMs without it)
+                cls = nn.remat(block) if self.with_cp else block
+                x = cls(planes, stride, self.dilations[i], downsample,
+                        self.style, self.norm_cfg or dict(type="BN"),
+                        self.dtype, name=f"layer{i+1}_{j}", **kw)(x)
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)
             if i in self.out_indices:

@@ -133,6 +133,15 @@ def main():
         print(f"flops_per_step          {cc.get('flops', float('nan')):.3e}")
     except Exception:
         pass
+    try:
+        ma = compiled.memory_analysis()
+        for field in ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "generated_code_size_in_bytes"):
+            v = getattr(ma, field, None)
+            if v is not None:
+                print(f"{field:30s} {v / 1e9:8.2f} GB")
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
