@@ -37,24 +37,27 @@ def frozen_mask(params, model_cfg: dict) -> Any:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def is_frozen(path) -> bool:
-        keys = [getattr(p, "key", str(p)) for p in path]
-        joined = "/".join(str(k) for k in keys)
+        keys = [str(getattr(p, "key", p)) for p in path]
+        joined = "/".join(keys)
         if "backbone" not in joined:
             return False
-        if freeze_norm and ("FrozenBN" in joined or "scale" in keys[-1:]
-                            or "bias" in keys[-1:]):
+        if freeze_norm and any("FrozenBN" in k for k in keys):
             # caffe-style: all backbone BN affine params frozen
-            if any("FrozenBN" in str(k) for k in keys):
-                return True
-        if frozen_stages >= 0 and any(
-                str(k).startswith(("conv1", "stem_conv")) for k in keys):
             return True
-        # frozen stem norms live next to conv1 as FrozenBN_0
-        if frozen_stages >= 0 and re.search(r"FrozenBN_0$",
-                                            "/".join(str(k) for k in keys[:2])):
+        # Stem / stage rules must match only the DIRECT child of the
+        # backbone module: residual blocks name their inner convs
+        # conv1/conv2/conv3 too, and an any()-over-the-path match froze
+        # the first conv of EVERY block (caught by
+        # tests/test_optim_schedules.py::test_frozen_mask...).
+        bb_idx = next(i for i, k in enumerate(keys) if "backbone" in k)
+        sub = keys[bb_idx + 1] if len(keys) > bb_idx + 1 else ""
+        if frozen_stages >= 0 and sub.startswith(("conv1", "stem_conv")):
+            return True
+        # frozen stem norm lives next to conv1 as FrozenBN_0
+        if frozen_stages >= 0 and sub == "FrozenBN_0":
             return True
         for s in range(1, frozen_stages + 1):
-            if any(str(k).startswith(f"layer{s}_") for k in keys):
+            if sub.startswith(f"layer{s}_"):
                 return True
         return False
 

@@ -188,7 +188,11 @@ def _op_matrices(key, family: int, boxes, box_valid, img_shape,
     u = jax.random.uniform(key, (g, 3))
     lvl = 0.1 + u[:, 0] * (severity - 0.1)
     sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
-    use_x = u[:, 2] < 0.5
+    # ONE axis coin per call (reference bbox_augmentation.py:103-104:
+    # shear_xy picks shear_x or shear_y once, for every box); magnitudes
+    # and signs stay per-box (sample_level runs per aug_func call inside
+    # the per-box loop)
+    use_x = u[0, 2] < 0.5
 
     if is_bg:
         cx = jnp.full((g,), w / 2.0)
@@ -220,13 +224,13 @@ def _op_matrices(key, family: int, boxes, box_valid, img_shape,
         ty = zeros if is_bg else -sh * cx
         m_shx = assemble(ones, -sh, -tx, zeros, ones, zeros)
         m_shy = assemble(ones, zeros, zeros, -sh, ones, -ty)
-        return jnp.where(use_x[:, None, None], m_shx, m_shy)
+        return jnp.where(use_x, m_shx, m_shy)
     # translate x or y, level = int(lvl * maxval/3 / 10)
     shift_x = jnp.floor(lvl * (bw / 3.0) / 10.0) * sign
     shift_y = jnp.floor(lvl * (bh / 3.0) / 10.0) * sign
     m_trx = assemble(ones, zeros, -shift_x, zeros, ones, zeros)
     m_try = assemble(ones, zeros, zeros, zeros, ones, -shift_y)
-    return jnp.where(use_x[:, None, None], m_trx, m_try)
+    return jnp.where(use_x, m_trx, m_try)
 
 
 def _invert_2x3(m):
@@ -396,65 +400,95 @@ def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
     return fg_maps(fxg, fyg, h, w)
 
 
-def _apply_geo_bboxes_only_pw(img, fg: _FgInfo, family_idx, key,
-                              severity: float):
-    """bboxes_only_* on the piecewise-shift Pallas kernel: the per-box
-    warp decomposes into up to three per-row shift passes (x, y-transposed,
-    x) — shear/translate exactly (their inverse maps are unit-diagonal),
-    rotation via the centered Paeth 3-shear factorization. Each pass is
-    ops/pallas_warp.piecewise_shift_rows (per-block box-presence skipping),
-    replacing two per-pixel XLA gathers (~31 ms/call -> ~5 ms).
-
-    Same per-pixel strongest-box approximation as the gather path (the
-    documented divergence); rotation interpolates through 3 lerp stages
-    instead of 2.
-    """
-    from .pallas_warp import piecewise_shift_rows
-    h, w = img.shape[0], img.shape[1]
-    boxes = fg.boxes
+def _pw_params(key, boxes, severity: float):
+    """Per-call draws shared by the pw family kernels — same RNG layout as
+    ``_op_matrices`` (lvl/sign per box, ONE axis coin per call, matching
+    reference bbox_augmentation.py:103-117 shear_xy/translate_xy)."""
     g = boxes.shape[0]
-    u = jax.random.uniform(key, (g, 3))          # same draws as _op_matrices
+    u = jax.random.uniform(key, (g, 3))
     lvl = 0.1 + u[:, 0] * (severity - 0.1)
     sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
-    use_x = u[:, 2] < 0.5
+    use_x = u[0, 2] < 0.5
     cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
     cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
     bw = boxes[:, 2] - boxes[:, 0] + 1
     bh = boxes[:, 3] - boxes[:, 1] + 1
+    return lvl, sign, use_x, cx, cy, bw, bh
+
+
+def _pw_finish(img, warped, fg: _FgInfo):
+    cov = fg.cover.astype(jnp.float32)[..., None]
+    out = img * (1.0 - cov) + warped * cov
+    return jnp.clip(jnp.round(out), 0, 255)
+
+
+def _pw_pass_x(img, fg: _FgInfo, p):
+    from .pallas_warp import piecewise_shift_rows
+    bid = fg.best_id.astype(jnp.int32)
+    return piecewise_shift_rows(img, bid, p, 512, prep=fg.pw_x)
+
+
+def _pw_pass_y(img, fg: _FgInfo, p):
+    from .pallas_warp import piecewise_shift_rows
+    bid = fg.best_id.astype(jnp.int32)
+    return jnp.transpose(
+        piecewise_shift_rows(jnp.transpose(img, (1, 0, 2)),
+                             jnp.transpose(bid), p, 768, prep=fg.pw_y),
+        (1, 0, 2))
+
+
+def _pw_rotate(img, fg: _FgInfo, key, severity: float):
+    """bboxes_only_rotate on the piecewise-shift kernel: centered Paeth
+    X(a1) Y(b2) X(a1) 3-shear factorization (3 per-row shift passes).
+    Same per-pixel strongest-box approximation as the gather path; the
+    rotation interpolates through 3 lerp stages instead of 2."""
+    h, w = img.shape[0], img.shape[1]
+    lvl, sign, _, cx, cy, _, _ = _pw_params(key, fg.boxes, severity)
     deg = jnp.floor(lvl * 30.0 / 10.0) * sign
     rad = jnp.deg2rad(deg)
-    # inverse map = R_std(+rad) about center; Paeth X(a1)Y(b2)X(a1)
     a1 = -jnp.tan(rad / 2.0)
     b2 = jnp.sin(rad)
-    sh = lvl * 0.3 / 10.0 * sign
-    tx = jnp.floor(lvl * (bw / 3.0) / 10.0) * sign
-    ty = jnp.floor(lvl * (bh / 3.0) / 10.0) * sign
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[:, None]
-    is_rot = family_idx == 0
-    is_shear = family_idx == 1
-    p1 = jnp.where(is_rot, a1[None, :] * (ys - cy[None, :]),
-                   jnp.where(is_shear,
-                             jnp.where(use_x[None, :],
-                                       sh[None, :] * (ys - cy[None, :]),
-                                       0.0),
-                             jnp.where(use_x[None, :], tx[None, :], 0.0)))
-    p2 = jnp.where(is_rot, b2[None, :] * (xs - cx[None, :]),
-                   jnp.where(is_shear,
-                             jnp.where(use_x[None, :], 0.0,
-                                       sh[None, :] * (xs - cx[None, :])),
-                             jnp.where(use_x[None, :], 0.0, ty[None, :])))
-    p3 = jnp.where(is_rot, p1, 0.0)
-    bid = fg.best_id.astype(jnp.int32)
-    out = piecewise_shift_rows(img, bid, p1, 512, prep=fg.pw_x)
-    out = jnp.transpose(
-        piecewise_shift_rows(jnp.transpose(out, (1, 0, 2)),
-                             jnp.transpose(bid), p2, 768, prep=fg.pw_y),
-        (1, 0, 2))
-    out = piecewise_shift_rows(out, bid, p3, 512, prep=fg.pw_x)
-    cov = fg.cover.astype(jnp.float32)[..., None]
-    out = img * (1.0 - cov) + out * cov
-    return jnp.clip(jnp.round(out), 0, 255)
+    p1 = a1[None, :] * (ys - cy[None, :])
+    p2 = b2[None, :] * (xs - cx[None, :])
+    out = _pw_pass_x(img, fg, p1)
+    out = _pw_pass_y(out, fg, p2)
+    out = _pw_pass_x(out, fg, p1)
+    return _pw_finish(img, out, fg)
+
+
+def _pw_shear(img, fg: _FgInfo, key, severity: float):
+    """bboxes_only_shear_xy: ONE shift pass — x or y picked by the
+    per-call coin via lax.cond (under scan the untaken pass never runs;
+    the old 3-pass form paid two dead kernel passes + transposes)."""
+    h, w = img.shape[0], img.shape[1]
+    lvl, sign, use_x, cx, cy, _, _ = _pw_params(key, fg.boxes, severity)
+    sh = lvl * 0.3 / 10.0 * sign
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[:, None]
+    out = jax.lax.cond(
+        use_x,
+        lambda im: _pw_pass_x(im, fg, sh[None, :] * (ys - cy[None, :])),
+        lambda im: _pw_pass_y(im, fg, sh[None, :] * (xs - cx[None, :])),
+        img)
+    return _pw_finish(img, out, fg)
+
+
+def _pw_translate(img, fg: _FgInfo, key, severity: float):
+    """bboxes_only_translate_xy: ONE constant-shift pass (x or y)."""
+    h, w = img.shape[0], img.shape[1]
+    lvl, sign, use_x, _, _, bw, bh = _pw_params(key, fg.boxes, severity)
+    tx = jnp.floor(lvl * (bw / 3.0) / 10.0) * sign
+    ty = jnp.floor(lvl * (bh / 3.0) / 10.0) * sign
+    ones_h = jnp.ones((h, 1), jnp.float32)
+    ones_w = jnp.ones((w, 1), jnp.float32)
+    out = jax.lax.cond(
+        use_x,
+        lambda im: _pw_pass_x(im, fg, ones_h * tx[None, :]),
+        lambda im: _pw_pass_y(im, fg, ones_w * ty[None, :]),
+        img)
+    return _pw_finish(img, out, fg)
 
 
 def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
@@ -541,25 +575,30 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     def _f(k):
         return lvl_from(k) * 1.8 / 10.0 + 0.1
 
-    # bbox geo: one branch with the rotate/shear/translate family selected
-    # by traced index (the per-pixel separable warp code appears once).
-    family_idx = jnp.clip((op_idx - n_photo) % 3, 0, 2)
-
-    def br_geo_bbox(k):
-        # Piecewise Pallas path (default on TPU): with binary-decomposed
-        # residual rolls and per-view prep hoisting it wins decisively
-        # (flagship bench 0.525 vs 0.827 s/step); OAMIX_GEO_PW=0 restores
-        # the per-pixel gather path.
-        if _use_pw_geo():
-            return _apply_geo_bboxes_only_pw(img, fg, family_idx, k,
-                                             severity)
-        ms = jnp.stack([
-            _op_matrices(k, f, fg.boxes, fg.valid, img_shape, severity,
-                         is_bg=False)
-            for f in range(3)])                      # (3, G, 2, 3), cheap
-        mats = ms[family_idx]
+    # bbox geo: ONE BRANCH PER FAMILY so shear/translate pay a single
+    # shift pass (their old shared branch ran the rotate-shaped 3-pass
+    # pipeline with two dead passes). Pallas path default on TPU;
+    # OAMIX_GEO_PW=0 restores the per-pixel gather path.
+    def _geo_gather(k, family):
+        mats = _op_matrices(k, family, fg.boxes, fg.valid, img_shape,
+                            severity, is_bg=False)
         inv = jax.vmap(_invert_2x3)(mats)
         return _apply_geo_bboxes_only(img, fg, inv.reshape(-1, 6))
+
+    def br_geo_rot(k):
+        if _use_pw_geo():
+            return _pw_rotate(img, fg, k, severity)
+        return _geo_gather(k, 0)
+
+    def br_geo_shear(k):
+        if _use_pw_geo():
+            return _pw_shear(img, fg, k, severity)
+        return _geo_gather(k, 1)
+
+    def br_geo_trans(k):
+        if _use_pw_geo():
+            return _pw_translate(img, fg, k, severity)
+        return _geo_gather(k, 2)
 
     # bg geo: family-specific Pallas shear-DMA warps (ops/pallas_warp.py) —
     # a per-row DMA pass costs ~3.6ms vs ~15ms per XLA gather pass.
@@ -594,9 +633,15 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
             lvl, sign, coin = _lvl_sign(kk)
             s = lvl * 0.3 / 10.0 * sign
             # bg shear has no center offset (augmix.py: center=None -> t=0)
-            sx = warp_shear_x(im4, s, 0.0, 0.0, int(0.3 * h_s) + 4)
-            sy = warp_shear_y(im4, s, 0.0, 0.0, int(0.3 * w_s) + 4)
-            return jnp.where(coin < 0.5, sx, sy)
+            # lax.cond: only the drawn axis's warp runs (the old
+            # compute-both + where paid two kernel passes every call)
+            return jax.lax.cond(
+                coin < 0.5,
+                lambda im: warp_shear_x(im, s, 0.0, 0.0,
+                                        int(0.3 * h_s) + 4),
+                lambda im: warp_shear_y(im, s, 0.0, 0.0,
+                                        int(0.3 * w_s) + 4),
+                im4)
         return _bg_blend(w, k)
 
     def br_bg_translate(k):
@@ -604,9 +649,11 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
             lvl, sign, coin = _lvl_sign(kk)
             tx = jnp.floor(lvl * (w_s / 3.0) / 10.0) * sign
             ty = jnp.floor(lvl * (h_s / 3.0) / 10.0) * sign
-            ox = warp_translate_x(im4, tx, w_s // 3 + 4)
-            oy = warp_translate_y(im4, ty, h_s // 3 + 4)
-            return jnp.where(coin < 0.5, ox, oy)
+            return jax.lax.cond(
+                coin < 0.5,
+                lambda im: warp_translate_x(im, tx, w_s // 3 + 4),
+                lambda im: warp_translate_y(im, ty, h_s // 3 + 4),
+                im4)
         return _bg_blend(w, k)
 
     branches = [br_auto, br_eq, br_post, br_sol]
@@ -616,13 +663,11 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
                      lambda k: enhance_contrast(img, _f(k)),
                      lambda k: enhance_brightness(img, _f(k)),
                      lambda k: enhance_sharpness(img, _f(k))]
-    branches += [br_geo_bbox, br_bg_rotate, br_bg_shear, br_bg_translate]
-    # op order (get_aug_list): photo..., 3x bboxes_only -> one branch,
-    # then bg rotate/shear/translate individually.
-    branch_idx = jnp.where(
-        op_idx < n_photo, op_idx,
-        jnp.where(op_idx < n_photo + 3, n_photo,
-                  n_photo + 1 + (op_idx - n_photo - 3)))
+    branches += [br_geo_rot, br_geo_shear, br_geo_trans,
+                 br_bg_rotate, br_bg_shear, br_bg_translate]
+    # op order (get_aug_list): photo..., bboxes_only rotate/shear_xy/
+    # translate_xy, bg rotate/shear_xy/translate_xy — 1:1 with branches.
+    branch_idx = op_idx
     branches16 = [lambda k, b=b: b(k).astype(jnp.bfloat16) for b in branches]
     if active is not None:
         # empty random-box slots multiply the result by an all-zero mask —
