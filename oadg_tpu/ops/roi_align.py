@@ -342,18 +342,31 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
     n_rows = int(np.sum(b * hs * ws))
     taps = _ml_tap_geometry(rois, out, featmap_strides, finest_scale,
                             sampling_ratio, hs, ws, level_off, b)
+    # Scatter dtype = the model's compute dtype. With bf16 features (the
+    # flagship runs bf16 end to end, and the downstream heads' gradients
+    # are bf16-quantized anyway) the scatter-add moves half the bytes —
+    # it is bandwidth-limited (~10 GB/step at flagship batch 4, the
+    # second-largest op in the step after convolutions). Accumulation
+    # depth is shallow (~2.5 contributions/row on average). Set
+    # OADG_ROI_BWD_F32=1 to force f32 accumulation (e.g. for strict
+    # gradient-parity checks against autodiff).
+    import os as _os
+    all_bf16 = all(dt == jnp.bfloat16 for _, dt in shapes)
+    acc_dt = (jnp.bfloat16 if all_bf16
+              and _os.environ.get("OADG_ROI_BWD_F32", "0") != "1"
+              else jnp.float32)
     # per-sample-point upstream grad: mean over the sr x sr samples
-    gpt = (g.astype(jnp.float32) / (sr * sr))          # (R, out, out, C)
+    gpt = (g.astype(jnp.float32) / (sr * sr)).astype(acc_dt)
     gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
     gpt = gpt.reshape(rois.shape[0], out * sr, out * sr, c)
     # ONE scatter-add over all 4 taps: four separate .at[].add calls compile
-    # to four sequential full passes over the (n_rows, C) f32 buffer
+    # to four sequential full passes over the (n_rows, C) buffer
     # (~9 ms each at flagship shapes — read+write of a ~700 MB table per
     # tap); concatenating rows/updates makes the buffer traffic one pass.
     rows_all = jnp.concatenate([rows_i.reshape(-1) for rows_i, _ in taps])
     upds_all = jnp.concatenate(
-        [(gpt * w[..., None]).reshape(-1, c) for _, w in taps])
-    d_table = jnp.zeros((n_rows, c), jnp.float32).at[rows_all].add(
+        [(gpt * w[..., None].astype(acc_dt)).reshape(-1, c) for _, w in taps])
+    d_table = jnp.zeros((n_rows, c), acc_dt).at[rows_all].add(
         upds_all, mode="drop")
     d_feats = []
     start = 0

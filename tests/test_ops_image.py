@@ -256,3 +256,38 @@ def test_roi_align_multilevel_vjp_matches_autodiff():
     for a, b in zip(gc, ga):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=2e-6)
+
+
+def test_roi_align_bf16_backward_close_to_f32():
+    """With bf16 features the backward accumulates in bf16 (the model's
+    compute dtype; halves the scatter bytes). Must stay within bf16
+    quantization tolerance of the f32 accumulation."""
+    import os
+    import jax
+    from oadg_tpu.ops.roi_align import roi_align_multilevel
+    rng = np.random.RandomState(3)
+    feats16 = [jnp.asarray(rng.rand(2, 32 >> i, 48 >> i, 8)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+               for i in range(4)]
+    rois = jnp.asarray(np.array([
+        [0, 10, 10, 40, 40],
+        [1, 0, 0, 120, 100],
+        [0, 2, 3, 60, 50],
+    ], np.float32))
+    g_out = jnp.asarray(rng.rand(3, 7, 7, 8).astype(np.float32))
+
+    def loss(fs):
+        return jnp.sum(roi_align_multilevel(fs, rois, 7, (4, 8, 16, 32),
+                                            2, 56, chunk=3) * g_out)
+
+    g16 = jax.grad(loss)(list(feats16))
+    os.environ["OADG_ROI_BWD_F32"] = "1"
+    try:
+        g32 = jax.grad(jax.jit(loss))(list(feats16))
+    finally:
+        del os.environ["OADG_ROI_BWD_F32"]
+    for a, b in zip(g16, g32):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.max(np.abs(a - b)) / scale < 2e-2
