@@ -1,0 +1,15 @@
+# Mask R-CNN R50-FPN on Cityscapes (reference configs/cityscapes).
+_base_ = [
+    '/ws/external/configs/_base_/models/mask_rcnn_r50_fpn.py',
+    '/ws/external/configs/_base_/datasets/cityscapes_detection.py',
+    '/ws/external/configs/_base_/default_runtime.py',
+]
+model = dict(roi_head=dict(
+    bbox_head=dict(num_classes=8),
+    mask_head=dict(num_classes=8)))
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0001)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(
+    policy='step', warmup='linear', warmup_iters=500, warmup_ratio=0.001,
+    step=[7])
+runner = dict(type='EpochBasedRunner', max_epochs=8)

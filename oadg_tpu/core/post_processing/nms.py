@@ -114,18 +114,72 @@ def batched_nms_padded(boxes, scores, idxs, iou_threshold, valid=None,
     return nms_padded(boxes_off, scores, iou_threshold, valid, tile_size)
 
 
-@partial(jax.jit, static_argnames=("max_per_img", "score_thr", "iou_threshold", "num_classes"))
+def soft_nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    iou_threshold: float = 0.3, sigma: float = 0.5,
+                    min_score: float = 1e-3, method: str = "linear",
+                    max_out: Optional[int] = None,
+                    valid: Optional[jnp.ndarray] = None):
+    """Soft-NMS (Bodla et al.; mmcv.ops.soft_nms semantics): instead of
+    suppressing overlaps, decay their scores — ``linear`` (1 - iou when
+    iou > iou_threshold) or ``gaussian`` (exp(-iou^2 / sigma)).
+
+    Static-shape formulation: ``max_out`` sequential argmax picks over a
+    precomputed (N, N) IoU matrix; boxes whose decayed score falls below
+    ``min_score`` stop being picked. O(N^2) memory — intended for
+    test-time candidate sets (mmdet uses it only in rcnn test_cfg).
+
+    Returns (new_scores (N,), keep (N,) bool) aligned with input order:
+    ``new_scores`` holds the decayed score of every kept box.
+    """
+    n = boxes.shape[0]
+    mo = n if max_out is None else min(int(max_out), n)
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
+    iou = _pairwise_iou(boxes, boxes)
+    cur = jnp.where(valid, scores.astype(jnp.float32), neg_inf)
+    out_sc = jnp.zeros((n,), jnp.float32)
+    keep = jnp.zeros((n,), bool)
+
+    def body(i, state):
+        cur, out_sc, keep = state
+        m = jnp.argmax(cur)
+        ms = cur[m]
+        ok = ms > min_score
+        out_sc = out_sc.at[m].set(jnp.where(ok, ms, 0.0))
+        keep = keep.at[m].max(ok)
+        row = iou[m]
+        if method == "gaussian":
+            decay = jnp.exp(-(row ** 2) / sigma)
+        else:
+            decay = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
+        cur = jnp.where(ok, cur * decay, cur)
+        cur = cur.at[m].set(neg_inf)
+        return cur, out_sc, keep
+
+    _, out_sc, keep = jax.lax.fori_loop(0, mo, body, (cur, out_sc, keep))
+    return out_sc, keep
+
+
+@partial(jax.jit, static_argnames=("max_per_img", "score_thr",
+                                   "iou_threshold", "num_classes",
+                                   "nms_type", "sigma", "min_score"))
 def multiclass_nms(multi_bboxes: jnp.ndarray,
                    multi_scores: jnp.ndarray,
                    score_thr: float,
                    iou_threshold: float,
                    max_per_img: int,
-                   num_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                   num_classes: int,
+                   nms_type: str = "nms",
+                   sigma: float = 0.5,
+                   min_score: float = 1e-3) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static-shape multiclass NMS (reference core/post_processing/bbox_nms.py:8).
 
     Args:
         multi_bboxes: (N, 4) or (N, C*4); multi_scores: (N, C+1), last column
         is background (dropped).
+        nms_type: 'nms' (hard greedy) or 'soft_nms' / 'soft_nms_gaussian'
+        (score decay; test_cfg ``nms=dict(type='soft_nms', ...)``).
 
     Returns:
         dets (max_per_img, 5) [x1,y1,x2,y2,score], labels (max_per_img,),
@@ -142,7 +196,19 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     scores = scores.reshape(-1)
     labels = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :], (n, c)).reshape(-1)
     valid = scores > score_thr
-    keep = batched_nms_padded(bboxes, scores, labels, iou_threshold, valid=valid)
+    if nms_type in ("soft_nms", "soft_nms_linear", "soft_nms_gaussian"):
+        # class separation via the same coordinate-offset trick
+        max_coord = jnp.max(jnp.where(valid[:, None], bboxes, 0.0))
+        boxes_off = bboxes + (labels.astype(bboxes.dtype)
+                              * (max_coord + 1.0))[:, None]
+        method = "gaussian" if nms_type == "soft_nms_gaussian" else "linear"
+        scores, keep = soft_nms_padded(
+            boxes_off, scores, iou_threshold=iou_threshold, sigma=sigma,
+            min_score=min_score, method=method,
+            max_out=min(4 * max_per_img, scores.shape[0]), valid=valid)
+    else:
+        keep = batched_nms_padded(bboxes, scores, labels, iou_threshold,
+                                  valid=valid)
     final_scores = jnp.where(keep, scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(final_scores, max_per_img)
     out_valid = top_scores > -jnp.inf

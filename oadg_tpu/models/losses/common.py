@@ -182,6 +182,53 @@ class IoULoss:
 
 
 @LOSSES.register_module()
+class BoundedIoULoss:
+    """Bounded IoU loss (Tychsen-Smith & Petersson 2018; reference
+    mmdet/models/losses/iou_loss.py bounded_iou_loss): per-side bounded
+    IoU-like terms on center offsets and size ratios, combined with a
+    smooth-L1 transition at ``beta``. Targets are stop-gradiented as in
+    the reference (torch.no_grad on the target decomposition)."""
+
+    def __init__(self, beta=0.2, eps=1e-3, reduction="mean",
+                 loss_weight=1.0, **kw):
+        self.beta = beta
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kw):
+        red = reduction_override or self.reduction
+        eps = self.eps
+        pcx = (pred[:, 0] + pred[:, 2]) * 0.5
+        pcy = (pred[:, 1] + pred[:, 3]) * 0.5
+        pw = pred[:, 2] - pred[:, 0]
+        ph = pred[:, 3] - pred[:, 1]
+        t = jax.lax.stop_gradient(target)
+        tcx = (t[:, 0] + t[:, 2]) * 0.5
+        tcy = (t[:, 1] + t[:, 3]) * 0.5
+        tw = t[:, 2] - t[:, 0]
+        th = t[:, 3] - t[:, 1]
+        dx = tcx - pcx
+        dy = tcy - pcy
+        loss_dx = 1 - jnp.maximum(
+            (tw - 2 * jnp.abs(dx)) / (tw + 2 * jnp.abs(dx) + eps), 0.0)
+        loss_dy = 1 - jnp.maximum(
+            (th - 2 * jnp.abs(dy)) / (th + 2 * jnp.abs(dy) + eps), 0.0)
+        loss_dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+        loss_dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+        comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+        loss = jnp.where(comb < self.beta,
+                         0.5 * comb * comb / self.beta,
+                         comb - 0.5 * self.beta)
+        loss = jnp.sum(loss, axis=-1)
+        if weight is not None and weight.ndim > loss.ndim:
+            weight = weight[..., 0]
+        return self.loss_weight * weight_reduce_loss(loss, weight, red,
+                                                     avg_factor)
+
+
+@LOSSES.register_module()
 class GIoULoss(IoULoss):
     def __init__(self, eps=1e-6, reduction="mean", loss_weight=1.0, **kw):
         super().__init__(eps=eps, reduction=reduction, loss_weight=loss_weight)

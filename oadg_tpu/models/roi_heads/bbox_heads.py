@@ -48,6 +48,7 @@ class Shared2FCBBoxHead(nn.Module):
     num_shared_fcs: int = 2
     bbox_coder: Any = None
     reg_class_agnostic: bool = False
+    reg_decoded_bbox: bool = False   # IoU-family losses regress decoded boxes
     norm_cfg: Any = None
     loss_cls: Any = None
     loss_bbox: Any = None
@@ -121,15 +122,22 @@ class Shared2FCBBoxHead(nn.Module):
         pw = 1.0 if pos_weight <= 0 else pos_weight
         label_w = jnp.where(sample_valid,
                             jnp.where(sample_is_pos, pw, 1.0), 0.0)
-        deltas = self.coder.encode(sampled_boxes, matched_gt)
+        if self.reg_decoded_bbox:
+            # IoU-family losses: target is the absolute gt box; the pred
+            # is decoded in loss() (reference bbox_head.py get_targets)
+            deltas = matched_gt
+        else:
+            deltas = self.coder.encode(sampled_boxes, matched_gt)
         bbox_w = (sample_is_pos.astype(jnp.float32))[:, None] * jnp.ones((1, 4))
         return labels.astype(jnp.int32), label_w, deltas, bbox_w
 
     # ---------------- loss ----------------
 
     def loss(self, cls_score, bbox_pred, labels, label_weights, bbox_targets,
-             bbox_weights):
-        """Reference BBoxHead.loss semantics with masked regression rows."""
+             bbox_weights, rois=None):
+        """Reference BBoxHead.loss semantics with masked regression rows.
+        ``rois`` (R, 4) are required when ``reg_decoded_bbox`` (the deltas
+        are decoded against them before the IoU-family loss)."""
         losses = {}
         avg_factor = jnp.maximum(jnp.sum(label_weights > 0), 1.0)
         losses["loss_cls"] = self.cls_loss(
@@ -145,6 +153,10 @@ class Shared2FCBBoxHead(nn.Module):
             pos_pred = jnp.take_along_axis(
                 bbox_pred.reshape(r, -1, 4), safe[:, None, None].repeat(4, -1),
                 axis=1)[:, 0]
+        if self.reg_decoded_bbox:
+            assert rois is not None, "reg_decoded_bbox needs the roi boxes"
+            pos_pred = self.coder.decode(rois.reshape(r, 4),
+                                         pos_pred.astype(jnp.float32))
         # reference: loss over pos rows only, avg_factor = total rows
         losses["loss_bbox"] = self.reg_loss(
             pos_pred.astype(jnp.float32), bbox_targets, bbox_weights,

@@ -195,7 +195,8 @@ class StandardRoIHead(nn.Module):
         losses = self.head.loss(
             cls_score, bbox_pred,
             tgt_labels.reshape(-1), tgt_lw.reshape(-1),
-            tgt_deltas.reshape(-1, 4), tgt_bw.reshape(-1, 4))
+            tgt_deltas.reshape(-1, 4), tgt_bw.reshape(-1, 4),
+            rois=boxes_all.reshape(-1, 4))
         if self.mask_head_m is not None and gt_masks is not None:
             losses["loss_mask"] = self._mask_loss(
                 feats, boxes_all, tgt_labels, is_pos_all, valid_all,
@@ -209,7 +210,13 @@ class StandardRoIHead(nn.Module):
         """Padded detection: returns dets (N, max_per_img, 5), labels, valid."""
         tc = dict(self.test_cfg or {})
         score_thr = float(tc.get("score_thr", 0.05))
-        iou_thr = float(dict(tc.get("nms", {})).get("iou_threshold", 0.5))
+        nms_cfg = dict(tc.get("nms", {}))
+        iou_thr = float(nms_cfg.get("iou_threshold", 0.5))
+        nms_type = str(nms_cfg.get("type", "nms"))
+        if nms_type == "soft_nms" and nms_cfg.get("method") == "gaussian":
+            nms_type = "soft_nms_gaussian"
+        sigma = float(nms_cfg.get("sigma", 0.5))
+        min_score = float(nms_cfg.get("min_score", 1e-3))
         max_per_img = int(tc.get("max_per_img", 100))
 
         n, p = proposals.shape[:2]
@@ -226,7 +233,8 @@ class StandardRoIHead(nn.Module):
                 rois_i, cls_i, reg_i, (shape[0], shape[1]), sf, rescale=rescale)
             scores = jnp.where(pv[:, None], scores, 0.0)
             return multiclass_nms(boxes, scores, score_thr, iou_thr,
-                                  max_per_img, nc)
+                                  max_per_img, nc, nms_type=nms_type,
+                                  sigma=sigma, min_score=min_score)
 
         rois_im = rois.reshape(n, p, 5)
         return jax.vmap(one)(rois_im, cls_score, bbox_pred, prop_valid,
@@ -269,7 +277,8 @@ class ContrastiveRoIHead(StandardRoIHead):
         losses = self.head.loss(
             cls_score, bbox_pred,
             tgt_labels.reshape(-1), tgt_lw.reshape(-1),
-            tgt_deltas.reshape(-1, 4), tgt_bw.reshape(-1, 4))
+            tgt_deltas.reshape(-1, 4), tgt_bw.reshape(-1, 4),
+            rois=boxes_all.reshape(-1, 4))
 
         # contrastive branch: roi embeddings + random-proposal embeddings
         if cont is not None:

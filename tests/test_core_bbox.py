@@ -259,3 +259,78 @@ def test_eval_map_ignore_regions():
                        [40, 40, 60, 60, 0.8]], np.float32)]]
     m, _ = eval_map(dets, ann, iou_thr=0.5)
     assert abs(m - 1.0) < 1e-6          # ignored-region det is neither tp/fp
+
+
+def _soft_nms_numpy(boxes, scores, iou_thr, sigma, min_score, method,
+                    max_out):
+    """Sequential soft-NMS reference (Bodla et al. / mmcv.ops.soft_nms)."""
+    boxes = boxes.copy().astype(np.float64)
+    scores = scores.copy().astype(np.float64)
+    alive = np.ones(len(boxes), bool)
+    out = {}
+    for _ in range(max_out):
+        cand = np.where(alive, scores, -np.inf)
+        m = int(np.argmax(cand))
+        if cand[m] <= min_score:
+            break
+        out[m] = cand[m]
+        alive[m] = False
+        # decay the others by overlap with the picked box
+        x1 = np.maximum(boxes[m, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[m, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[m, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[m, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+        iou = inter / np.maximum(area + area[m] - inter, 1e-12)
+        if method == "gaussian":
+            decay = np.exp(-(iou ** 2) / sigma)
+        else:
+            decay = np.where(iou > iou_thr, 1.0 - iou, 1.0)
+        scores = np.where(alive, scores * decay, scores)
+    return out
+
+
+@pytest.mark.parametrize("method", ["linear", "gaussian"])
+def test_soft_nms_matches_sequential(method):
+    from oadg_tpu.core.post_processing.nms import soft_nms_padded
+    rng = np.random.RandomState(11)
+    n = 40
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 60, n)
+    boxes[:, 1] = rng.uniform(0, 60, n)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(5, 40, n)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(5, 40, n)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+
+    sc, keep = soft_nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                               iou_threshold=0.3, sigma=0.5,
+                               min_score=0.05, method=method, max_out=n)
+    ref = _soft_nms_numpy(boxes, scores, 0.3, 0.5, 0.05, method, n)
+    got = {int(i): float(s) for i, s in enumerate(np.asarray(sc))
+           if np.asarray(keep)[i]}
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i] == pytest.approx(ref[i], rel=1e-4)
+
+
+def test_multiclass_soft_nms_path():
+    from oadg_tpu.core.post_processing.nms import multiclass_nms
+    rng = np.random.RandomState(2)
+    n, c = 30, 3
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 50, n)
+    boxes[:, 1] = rng.uniform(0, 50, n)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(5, 30, n)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(5, 30, n)
+    scores = rng.uniform(0, 1, (n, c + 1)).astype(np.float32)
+    dets, labels, valid = multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.05, 0.3, 10, c,
+        nms_type="soft_nms")
+    v = np.asarray(valid)
+    assert v.any()
+    d = np.asarray(dets)[v]
+    # scores sorted descending, within [0, 1]
+    assert np.all(np.diff(d[:, 4]) <= 1e-6)
+    assert np.all(d[:, 4] > 0) and np.all(d[:, 4] <= 1)
+    assert np.all(np.asarray(labels)[v] >= 0)

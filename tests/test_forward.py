@@ -181,3 +181,36 @@ def test_oadg_contrastive_forward_train():
               "loss_cont"):
         assert k in losses
         assert np.isfinite(float(losses[k])), (k, float(losses[k]))
+
+
+def test_reg_decoded_bbox_giou_and_soft_nms():
+    """faster_rcnn IoU-loss family (reg_decoded_bbox=True + GIoULoss) and
+    the soft_nms rcnn test_cfg variant
+    (reference configs/faster_rcnn/faster_rcnn_r50_fpn_{giou,soft_nms}_1x)."""
+    import copy
+    model = copy.deepcopy(BASE_MODEL)
+    model["roi_head"]["bbox_head"].update(
+        reg_decoded_bbox=True,
+        loss_bbox=dict(type="GIoULoss", loss_weight=10.0))
+    test_cfg = copy.deepcopy(TEST_CFG)
+    test_cfg["rcnn"]["nms"] = dict(type="soft_nms", iou_threshold=0.5,
+                                   min_score=0.01)
+    det = build_detector(model, TRAIN_CFG, test_cfg)
+    batch = _batch()
+    variables = det.init({"params": jax.random.PRNGKey(0),
+                          "sampling": jax.random.PRNGKey(1)}, batch, "train")
+    losses = det.apply(variables, batch, "train",
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(losses["loss_bbox"]))
+    # GIoU loss on decoded boxes is bounded by loss_weight * 2
+    assert 0.0 <= float(losses["loss_bbox"]) <= 20.0
+
+    grads = jax.grad(lambda p: sum(
+        v for k, v in det.apply({**variables, "params": p}, batch, "train",
+                                rngs={"sampling": jax.random.PRNGKey(2)}
+                                ).items() if "loss" in k))(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+
+    dets, labels, valid = det.apply(variables, batch, "test")
+    assert dets.shape[1] == 10 and bool(jnp.all(jnp.isfinite(dets)))

@@ -47,17 +47,16 @@ def main():
              "img_shape": jnp.asarray([[args.h, args.w]], jnp.float32),
              "scale_factor": jnp.ones((1, 4), jnp.float32)}
     out = fn(variables["params"], variables.get("batch_stats"), batch)
-    jax.block_until_ready(out)
-    times = []
+    _ = float(jnp.sum(out[0]))         # sync: block_until_ready does not
+    # reliably block on tunneled backends (bench.py) — fetch a scalar.
+    # Chained-dispatch timing: dispatch all iters, sync once at the end
+    # (per-iter host syncs would bill the tunnel round-trip to the model).
+    t0 = time.perf_counter()
     for i in range(args.max_iter):
-        t0 = time.perf_counter()
         out = fn(variables["params"], variables.get("batch_stats"), batch)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-        if (i + 1) % args.log_interval == 0:
-            print(f"[{i+1}/{args.max_iter}] fps: {1.0/np.mean(times):.1f}")
-    print(f"Overall fps: {1.0/np.mean(times):.1f} img/s "
-          f"({np.mean(times)*1000:.1f} ms/img)")
+    _ = float(jnp.sum(out[0]))
+    mean_t = (time.perf_counter() - t0) / args.max_iter
+    print(f"Overall fps: {1.0/mean_t:.1f} img/s ({mean_t*1000:.1f} ms/img)")
 
 
 if __name__ == "__main__":
