@@ -49,6 +49,7 @@ class Shared2FCBBoxHead(nn.Module):
     bbox_coder: Any = None
     reg_class_agnostic: bool = False
     reg_decoded_bbox: bool = False   # IoU-family losses regress decoded boxes
+    with_avg_pool: bool = False      # C4 heads: global-avg-pool the rois
     norm_cfg: Any = None
     loss_cls: Any = None
     loss_bbox: Any = None
@@ -87,6 +88,8 @@ class Shared2FCBBoxHead(nn.Module):
         x = roi_feats
         for conv in self.shared_convs:
             x = conv(x)
+        if self.with_avg_pool:       # C4: (R, h, w, C) -> (R, C)
+            x = jnp.mean(x, axis=(1, 2))
         x = x.reshape(x.shape[0], -1)
         for fc in self.shared_fcs:
             x = nn.relu(fc(x))

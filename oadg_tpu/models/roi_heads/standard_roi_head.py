@@ -34,6 +34,7 @@ class StandardRoIHead(nn.Module):
     bbox_head: Any = None
     mask_roi_extractor: Any = None
     mask_head: Any = None
+    shared_head: Any = None          # C4: res5 (ResLayer) applied to rois
     train_cfg: Any = None
     test_cfg: Any = None
     num_views: int = 1
@@ -45,6 +46,14 @@ class StandardRoIHead(nn.Module):
         head_type = (self.bbox_head or {}).get("type", "Shared2FCBBoxHead")
         self.head = build_from_cfg(dict(type=head_type, **bh, dtype=self.dtype),
                                    HEADS)
+        sh = dict(self.shared_head or {})
+        if sh:
+            sh_type = sh.pop("type", "ResLayer")
+            sh.pop("pretrained", None)
+            self.shared_head_m = build_from_cfg(
+                dict(type=sh_type, **sh, dtype=self.dtype), HEADS)
+        else:
+            self.shared_head_m = None
         ext = dict(self.bbox_roi_extractor or {})
         roi_layer = dict(ext.get("roi_layer", dict(output_size=7)))
         self.roi_out_size = int(roi_layer.get("output_size", 7))
@@ -185,6 +194,8 @@ class StandardRoIHead(nn.Module):
         bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s).reshape(n, s)
         rois = jnp.concatenate([bidx[..., None], boxes_all], axis=-1).reshape(-1, 5)
         roi_feats = self.extract(feats, rois)
+        if self.shared_head_m is not None:      # C4: res5 on roi features
+            roi_feats = self.shared_head_m(roi_feats)
         cls_score, bbox_pred, cont = self.head(roi_feats)
 
         tgt_labels, tgt_lw, tgt_deltas, tgt_bw = jax.vmap(
@@ -223,6 +234,8 @@ class StandardRoIHead(nn.Module):
         bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), p).reshape(n, p)
         rois = jnp.concatenate([bidx[..., None], proposals], axis=-1).reshape(-1, 5)
         roi_feats = self.extract(feats, rois)
+        if self.shared_head_m is not None:      # C4: res5 on roi features
+            roi_feats = self.shared_head_m(roi_feats)
         cls_score, bbox_pred, _ = self.head(roi_feats)
         nc = self.head.num_classes
         cls_score = cls_score.reshape(n, p, -1)
@@ -267,6 +280,8 @@ class ContrastiveRoIHead(StandardRoIHead):
         bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), s).reshape(n, s)
         rois = jnp.concatenate([bidx[..., None], boxes_all], axis=-1).reshape(-1, 5)
         roi_feats = self.extract(feats, rois)
+        if self.shared_head_m is not None:      # C4: res5 on roi features
+            roi_feats = self.shared_head_m(roi_feats)
         cls_score, bbox_pred, cont = self.head(roi_feats)
 
         tgt_labels, tgt_lw, tgt_deltas, tgt_bw = jax.vmap(
