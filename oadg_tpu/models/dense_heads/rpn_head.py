@@ -95,25 +95,39 @@ class RPNHead(nn.Module):
 
     # ---------------- training ----------------
 
-    def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_valid, rng):
+    def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_valid, rng,
+             img_shapes=None):
         """All-level RPN loss.
 
         Args:
             cls_scores/bbox_preds: per-level NHWC head outputs, N views-major.
             gt_bboxes: (N, G, 4); gt_valid: (N, G) bool; rng: PRNG key.
+            img_shapes: (N, 2) valid (h, w) per image — used when
+                ``train_cfg.allowed_border >= 0`` to exclude anchors
+                crossing the image border from assignment/sampling
+                (reference anchor_head.get_targets inside_flags; the
+                OA-DG configs use allowed_border=-1 = no filtering).
         """
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
         anchors = self._anchors(featmap_sizes)                   # (K, 4)
         k = anchors.shape[0]
+        ab = float(dict(self.train_cfg or {}).get("allowed_border", -1))
 
         cls = jnp.concatenate(
             [s.reshape(n, -1, self.num_classes) for s in cls_scores], axis=1)
         reg = jnp.concatenate(
             [b.reshape(n, -1, 4) for b in bbox_preds], axis=1)   # (N, K, 4)
 
-        def targets_one(gt, gtv, key):
-            assign = self.assigner.assign(anchors, gt, gtv)
+        def targets_one(gt, gtv, key, shape):
+            box_valid = None
+            if ab >= 0 and shape is not None:
+                box_valid = ((anchors[:, 0] >= -ab)
+                             & (anchors[:, 1] >= -ab)
+                             & (anchors[:, 2] < shape[1] + ab)
+                             & (anchors[:, 3] < shape[0] + ab))
+            assign = self.assigner.assign(anchors, gt, gtv,
+                                          box_valid=box_valid)
             pos, neg = self.sampler.sample_masks(key, assign)
             labels = jnp.where(pos, 0, self.num_classes)         # fg label = 0
             label_w = (pos | neg).astype(jnp.float32)
@@ -129,8 +143,12 @@ class RPNHead(nn.Module):
             return labels, label_w, deltas, bbox_w, pos, neg
 
         keys = jax.random.split(rng, n)
+        shapes = (img_shapes if img_shapes is not None
+                  else jnp.zeros((n, 2)))
+        if ab >= 0 and img_shapes is None:
+            raise ValueError("allowed_border >= 0 needs img_shapes")
         labels, label_w, deltas, bbox_w, pos, neg = jax.vmap(targets_one)(
-            gt_bboxes, gt_valid, keys)
+            gt_bboxes, gt_valid, keys, shapes)
         num_total = jnp.maximum(jnp.sum(pos) + jnp.sum(neg), 1.0)
 
         loss_cls = self.cls_loss(

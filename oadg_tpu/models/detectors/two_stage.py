@@ -156,7 +156,8 @@ class TwoStageDetector(nn.Module):
         cls_scores, bbox_preds = self.rpn(feats)
         losses.update(self.rpn.loss(cls_scores, bbox_preds,
                                     batch["gt_bboxes"], batch["gt_valid"],
-                                    rpn_rng))
+                                    rpn_rng,
+                                    img_shapes=batch.get("img_shape")))
         proposal_cfg = dict(self.train_cfg or {}).get(
             "rpn_proposal", dict(self.test_cfg or {}).get("rpn", {}))
         # proposals only needed for the clean chunk (sampling is replicated

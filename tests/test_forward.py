@@ -272,3 +272,54 @@ def test_faster_rcnn_c4_shared_head_forward():
     assert np.isfinite(float(losses["loss_cls"]))
     dets, labels, valid = det.apply(variables, batch, "test")
     assert dets.shape[1] == 5 and bool(jnp.all(jnp.isfinite(dets)))
+
+
+def test_rpn_allowed_border_filters_outside_anchors():
+    """allowed_border=0 (e.g. the C4 recipe) excludes anchors crossing the
+    image border from assignment/sampling (reference anchor_head
+    inside_flags); allowed_border=-1 keeps them all."""
+    from oadg_tpu.models.dense_heads.rpn_head import RPNHead
+    import copy
+    common = dict(in_channels=8, feat_channels=8,
+                  anchor_generator=dict(scales=[2], ratios=[1.0],
+                                        strides=[8]),
+                  train_cfg=dict(
+                      assigner=dict(pos_iou_thr=0.7, neg_iou_thr=0.3,
+                                    min_pos_iou=0.3),
+                      sampler=dict(num=512, pos_fraction=0.5),
+                      allowed_border=0))
+    head = RPNHead(**common)
+    x = [jnp.zeros((1, 8, 8, 8), jnp.float32)]
+    gt = jnp.asarray([[[4.0, 4, 60, 60]]])
+    gtv = jnp.ones((1, 1), bool)
+    variables = head.init(jax.random.PRNGKey(0), x)
+    cls_scores, bbox_preds = head.apply(variables, x)
+
+    def n_sampled(img_shapes):
+        # reach into loss internals by reusing the public API: the number
+        # of sampled anchors shows in the cls avg_factor; compare loss
+        # values instead — with a tiny valid region only few anchors are
+        # eligible, so the sampled count (and thus avg_factor) changes.
+        losses = head.apply(variables, x, cls_scores, bbox_preds, gt, gtv,
+                            jax.random.PRNGKey(1), img_shapes,
+                            method=lambda m, x_, c, b, g, gv, r, s:
+                            m.loss(c, b, g, gv, r, img_shapes=s))
+        return losses
+
+    # full 64x64 image: center anchors are inside; tiny 8x8 valid region:
+    # nearly every anchor crosses the border -> losses must differ
+    l_full = n_sampled(jnp.asarray([[64.0, 64.0]]))
+    l_tiny = n_sampled(jnp.asarray([[8.0, 8.0]]))
+    assert float(l_full["loss_rpn_cls"]) != float(l_tiny["loss_rpn_cls"])
+    # and with border filtering off, the shape has no effect
+    common2 = copy.deepcopy(common)
+    common2["train_cfg"]["allowed_border"] = -1
+    head2 = RPNHead(**common2)
+    v2 = head2.init(jax.random.PRNGKey(0), x)
+    def loss2(shapes):
+        return head2.apply(v2, x, cls_scores, bbox_preds, gt, gtv,
+                           jax.random.PRNGKey(1), shapes,
+                           method=lambda m, x_, c, b, g, gv, r, s:
+                           m.loss(c, b, g, gv, r, img_shapes=s))
+    assert float(loss2(jnp.asarray([[64.0, 64.0]]))["loss_rpn_cls"]) == \
+        float(loss2(jnp.asarray([[8.0, 8.0]]))["loss_rpn_cls"])
