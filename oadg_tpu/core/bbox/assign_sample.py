@@ -604,11 +604,27 @@ class CenterRegionAssigner(MaxIoUAssigner):
 
 @BBOX_ASSIGNERS.register_module()
 class ApproxMaxIoUAssigner(MaxIoUAssigner):
-    """reference approx_max_iou_assigner.py: assigns by the max IoU over a
-    group of approx anchors per location. The static-shape SABL/GA heads
-    use square approx anchors, for which the group max equals the single
-    square-anchor IoU — so MaxIoU semantics apply directly."""
-    pass
+    """reference approx_max_iou_assigner.py: each location owns a group of
+    ``approxs_per_octave`` approx anchors; the location's assignment IoU is
+    the MAX over its group, and the assigned box is the location's square
+    anchor. Thresholding/low-quality-rescue then follow MaxIoU semantics
+    exactly (the reference delegates to MaxIoUAssigner.assign_wrt_overlaps
+    on the grouped-max overlap matrix)."""
+
+    def assign(self, approxs, squares, approxs_per_octave, gt_bboxes,
+               gt_valid=None, gt_labels=None, box_valid=None,
+               gt_bboxes_ignore=None):
+        from .geometry import bbox_overlaps
+        k = squares.shape[0]
+        if gt_valid is None:
+            gt_valid = jnp.ones((gt_bboxes.shape[0],), bool)
+        ious = bbox_overlaps(approxs, gt_bboxes)          # (K*A, G)
+        ious = ious.reshape(k, int(approxs_per_octave), -1).max(axis=1)
+        ious = jnp.where(gt_valid[None, :], ious, 0.0)
+        if box_valid is not None:
+            ious = jnp.where(box_valid[:, None], ious, 0.0)
+        return self.assign_from_ious(ious, gt_valid, gt_labels=gt_labels,
+                                     box_valid=box_valid)
 
 
 @BBOX_ASSIGNERS.register_module()

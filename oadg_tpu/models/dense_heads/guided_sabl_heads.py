@@ -416,6 +416,15 @@ class SABLRetinaHead(nn.Module):
             ratios=[1.0], scales=[4], strides=list(self.strides)))
         sq.pop("type", None)
         self.prior_gen = AnchorGenerator(**sq)
+        # approx anchors for assignment (reference sabl_retina_head.py:
+        # ApproxMaxIoUAssigner over octave_base_scale x scales_per_octave
+        # x ratios approxes per square location)
+        ap = dict(self.approx_anchor_generator or dict(
+            octave_base_scale=4, scales_per_octave=3,
+            ratios=[0.5, 1.0, 2.0], strides=list(self.strides)))
+        ap.pop("type", None)
+        self.approx_gen = AnchorGenerator(**ap)
+        self.approxs_per_octave = self.approx_gen.num_base_anchors[0]
         self.l_cls = build_from_cfg(dict(self.loss_cls or dict(
             type="FocalLoss", gamma=2.0, alpha=0.25, loss_weight=1.0)),
             LOSSES)
@@ -424,7 +433,8 @@ class SABLRetinaHead(nn.Module):
                                            neg_iou_thr=0.4,
                                            min_pos_iou=0.0)))
         asn.pop("type", None)
-        self.assigner = MaxIoUAssigner(**asn)
+        from ...core.bbox.assign_sample import ApproxMaxIoUAssigner
+        self.assigner = ApproxMaxIoUAssigner(**asn)
         self.cls_convs = [Conv(self.feat_channels, 3, 1, 1,
                                dtype=self.dtype, name=f"cls_conv{i}")
                           for i in range(self.stacked_convs)]
@@ -478,9 +488,12 @@ class SABLRetinaHead(nn.Module):
         br = jnp.concatenate([c.reshape(n, -1, 4, self.num_buckets)
                               for c in breg], 1)
         left, top, bw, bh = self._bucket_edges(anchors)
+        approxs = self.approx_gen.grid_priors_cat(featmap_sizes)
 
         def one(gt, gtv, gtl):
-            a = self.assigner.assign(anchors, gt, gtv, gt_labels=gtl)
+            a = self.assigner.assign(approxs, anchors,
+                                     self.approxs_per_octave, gt, gtv,
+                                     gt_labels=gtl)
             pos = a.gt_inds > 0
             gi = jnp.clip(a.gt_inds - 1, 0, gt.shape[0] - 1)
             labels = jnp.where(pos, gtl[gi], self.num_classes)

@@ -138,3 +138,32 @@ def test_simota_assigner_positive_count_and_location():
 def test_region_assigner_raises_loudly():
     with pytest.raises(NotImplementedError):
         RegionAssigner().assign(None, None, None, None)
+
+
+def test_approx_max_iou_assigner_group_max():
+    """Assignment IoU = max over each location's approx group (reference
+    approx_max_iou_assigner.py), assigned boxes = squares."""
+    from oadg_tpu.core.bbox.assign_sample import ApproxMaxIoUAssigner
+    squares = jnp.asarray([[0., 0, 10, 10], [20, 20, 30, 30]])
+    # location 0: one poor approx + one perfect approx for gt0;
+    # location 1: both approxes far from gt0
+    approxs = jnp.asarray([
+        [0., 0, 3, 3],      # loc 0 approx 0 (iou ~0.09)
+        [0., 0, 10, 10],    # loc 0 approx 1 (iou 1.0)
+        [20., 20, 23, 23],  # loc 1 approx 0
+        [20., 20, 30, 30],  # loc 1 approx 1
+    ])
+    gt = jnp.asarray([[0., 0, 10, 10]])
+    gtv = jnp.ones((1,), bool)
+    asn = ApproxMaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                               min_pos_iou=0.0)
+    res = asn.assign(approxs, squares, 2, gt, gtv,
+                     gt_labels=jnp.asarray([3]))
+    gt_inds = np.asarray(res.gt_inds)
+    assert gt_inds[0] == 1          # group max 1.0 -> positive
+    assert gt_inds[1] == 0          # far -> negative
+    # plain MaxIoU on the squares alone would also assign loc 0, but with
+    # approxes whose max beats the square's own IoU the difference shows:
+    squares2 = jnp.asarray([[0., 40, 10, 50], [20, 20, 30, 30]])
+    res2 = asn.assign(approxs, squares2, 2, gt, gtv)
+    assert np.asarray(res2.gt_inds)[0] == 1   # approx group still matches
