@@ -87,6 +87,14 @@ class TwoStageDetector(nn.Module):
         if self.roi_head is not None:
             roi = dict(self.roi_head)
             roi_type = roi.pop("type", "StandardRoIHead")
+            if roi_type == "CascadeRoIHead" and roi.get("mask_head"):
+                # Cascade-Mask R-CNN == HTC without the semantic branch or
+                # mask info flow (reference cascade_roi_head.py's mask path
+                # is exactly this) — route to the HTC head which already
+                # implements per-stage mask training + stage-averaged test
+                roi_type = "HybridTaskCascadeRoIHead"
+                roi.setdefault("mask_info_flow", False)
+                roi.setdefault("semantic_fusion", ())
             self.roi = build_from_cfg(
                 dict(type=roi_type, **roi, train_cfg=tc.get("rcnn"),
                      test_cfg=dict(self.test_cfg or {}).get("rcnn"),
