@@ -106,7 +106,11 @@ _warned_dropped = set()
 # Keys the REFERENCE itself deprecates/ignores — dropping them is expected
 # behavior, not a gap, so no warning (e.g. contrastive_head.py marks
 # out_dim_cont deprecated; it appears in the flagship OA-DG config).
-_SILENT_DROP = {"out_dim_cont", "init_cfg", "pretrained"}
+# train_cfg/test_cfg/num_views/dtype are injected by the detector builders
+# into EVERY submodule; modules that don't consume them (EmbeddingRPNHead,
+# ...) drop them silently too — they are infrastructure, not user config.
+_SILENT_DROP = {"out_dim_cont", "init_cfg", "pretrained",
+                "train_cfg", "test_cfg", "num_views", "dtype"}
 
 
 def _filter_linen_kwargs(obj_cls, args: dict) -> dict:
