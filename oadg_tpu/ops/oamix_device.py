@@ -476,7 +476,14 @@ def _pw_shear(img, fg: _FgInfo, key, severity: float):
 
 
 def _pw_translate(img, fg: _FgInfo, key, severity: float):
-    """bboxes_only_translate_xy: ONE constant-shift pass (x or y)."""
+    """bboxes_only_translate_xy: ONE constant-shift pass (x or y).
+
+    Bound note: the pass clamps per-box shifts to the kernel's max_shift
+    (512 for x, 768 for the transposed y pass). The reference bound is
+    box_extent/3, so a gt box wider than 1536 px at max severity would
+    translate 512 px instead of up to ~682 — a documented saturation on
+    near-image-width boxes (their blend mask covers most of the frame
+    anyway); all rotate/shear bounds fit well inside the kernel pad."""
     h, w = img.shape[0], img.shape[1]
     lvl, sign, use_x, _, _, bw, bh = _pw_params(key, fg.boxes, severity)
     tx = jnp.floor(lvl * (bw / 3.0) / 10.0) * sign
