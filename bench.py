@@ -78,7 +78,7 @@ def main():
     print("bench: params initialized, compiling step...", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    params, opt_state, log_vars = step(params, batch_stats, opt_state, batch,
+    params, batch_stats, opt_state, log_vars = step(params, batch_stats, opt_state, batch,
                                        jax.random.PRNGKey(2))
     _ = float(log_vars["loss"])
     compile_s = time.perf_counter() - t0
@@ -93,7 +93,7 @@ def main():
     # does not reliably block on tunneled backends, hence the scalar fetch.
     t0 = time.perf_counter()
     for i in range(steps):
-        params, opt_state, log_vars = step(params, batch_stats, opt_state,
+        params, batch_stats, opt_state, log_vars = step(params, batch_stats, opt_state,
                                            batch, jax.random.PRNGKey(3 + i))
     _ = float(log_vars["loss"])
     step_s = (time.perf_counter() - t0) / steps

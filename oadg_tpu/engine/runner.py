@@ -189,8 +189,9 @@ class EpochBasedRunner:
             data_time = time.perf_counter() - t_data
             t0 = time.perf_counter()
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), self.iter)
-            self.params, self.opt_state, log_vars = self.step_fn(
-                self.params, self.batch_stats, self.opt_state, arrs, rng)
+            self.params, self.batch_stats, self.opt_state, log_vars = \
+                self.step_fn(self.params, self.batch_stats, self.opt_state,
+                             arrs, rng)
             jax.block_until_ready(log_vars["loss"])
             step_time = time.perf_counter() - t0
             self.iter += 1

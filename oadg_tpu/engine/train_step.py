@@ -50,27 +50,53 @@ def make_train_step(detector, tx: optax.GradientTransformation,
             variables = {"params": p}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
-            losses = detector.apply(variables, batch, "train",
-                                    rngs={"sampling": rng})
+            # mutable batch_stats puts live-BN layers (norm_eval=False —
+            # YOLOv3 neck/head, CSPDarknet/YOLOX, SyncBN configs) in train
+            # mode; their moving-stat updates come back as aux state. Under
+            # a mesh the batch-stat reductions run over the global sharded
+            # batch, i.e. SyncBN (reference mmcv SyncBatchNorm).
+            losses, new_vars = detector.apply(variables, batch, "train",
+                                              rngs={"sampling": rng},
+                                              mutable=["batch_stats"])
             total, log_vars = parse_losses(losses)
-            return total, log_vars
+            new_stats = (new_vars["batch_stats"]
+                         if new_vars.get("batch_stats") else batch_stats)
+            return total, (log_vars, new_stats)
 
-        (_, log_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        ((_, (log_vars, batch_stats)), grads) = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, log_vars
+        return params, batch_stats, opt_state, log_vars
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 2) if donate else ())
+        return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, rep, rep, bsh, rep),
-        out_shardings=(rep, rep, rep),
-        donate_argnums=(0, 2) if donate else (),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2) if donate else (),
     )
+
+
+def make_aug_test_step(detector, metas) -> Callable:
+    """Jitted TTA step. ``metas`` — the static per-view (flip,
+    flip_direction) tuple from MultiScaleFlipAug — is closed over, so each
+    distinct TTA configuration compiles once; per-view image shapes are
+    part of the jit signature as usual."""
+    metas = tuple((bool(f), str(d)) for f, d in metas)
+
+    @jax.jit
+    def step(params, batch_stats, views):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return detector.apply(variables, (tuple(views), metas), "aug_test")
+
+    return step
 
 
 def make_test_step(detector, mesh=None) -> Callable:

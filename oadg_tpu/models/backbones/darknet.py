@@ -10,7 +10,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 
 from ...utils.registry import BACKBONES
-from ..layers import ConvModule
+from ..layers import ConvModule, norm_eval_cfg
 
 
 class DarkBlock(nn.Module):
@@ -47,7 +47,9 @@ class Darknet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        norm = self.norm_cfg or dict(type="BN")
+        # norm_eval covers ONLY the backbone (reference darknet.py:174);
+        # the YOLO neck/head BNs stay live during training.
+        norm = norm_eval_cfg(self.norm_cfg, self.norm_eval)
         x = ConvModule(32, 3, 1, 1, norm_cfg=norm, act="leaky_relu",
                        dtype=self.dtype, name="conv1")(x)
         outs = []

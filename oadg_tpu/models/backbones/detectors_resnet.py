@@ -16,7 +16,7 @@ import jax.lax as lax
 import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES
-from ..layers import Conv, build_norm, max_pool_3x3_s2
+from ..layers import Conv, build_norm, max_pool_3x3_s2, norm_eval_cfg
 from .resnet import ARCH, Bottleneck
 
 
@@ -115,7 +115,7 @@ class DetectoRS_ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, rfp_feats=None):
         img = x
-        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        norm = build_norm(norm_eval_cfg(self.norm_cfg, self.norm_eval), self.dtype)
         x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
                  name="conv1")(x)
         x = nn.relu(norm()(x))
@@ -129,7 +129,7 @@ class DetectoRS_ResNet(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 ds = j == 0 and (stride != 1 or x.shape[-1] != planes * 4)
                 x = BottleneckSAC(planes, stride, self.dilations[i], ds,
-                                  use_sac, self.norm_cfg or dict(type="BN"),
+                                  use_sac, norm_eval_cfg(self.norm_cfg, self.norm_eval),
                                   self.dtype, name=f"layer{i+1}_{j}")(x)
                 if (j == 0 and self.rfp_inplanes and rfp_feats is not None
                         and rfp_feats[i] is not None):

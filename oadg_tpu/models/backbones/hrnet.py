@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES
-from ..layers import Conv, build_norm
+from ..layers import Conv, build_norm, norm_eval_cfg
 from .resnet import BasicBlock, Bottleneck
 
 BLOCKS = {"BASIC": (BasicBlock, 1), "BOTTLENECK": (Bottleneck, 4)}
@@ -93,7 +93,7 @@ class HRNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         extra = dict(self.extra or {})
-        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        norm = build_norm(norm_eval_cfg(self.norm_cfg, self.norm_eval), self.dtype)
         # stem: two stride-2 convs
         for i in range(2):
             x = Conv(64, 3, 2, 1, use_bias=False, dtype=self.dtype,
@@ -110,7 +110,7 @@ class HRNet(nn.Module):
         for j in range(s1["num_blocks"][0]):
             ds = (j == 0 and x.shape[-1] != planes * exp)
             x = block(planes, 1, 1, ds, "pytorch",
-                      self.norm_cfg or dict(type="BN"), self.dtype,
+                      norm_eval_cfg(self.norm_cfg, self.norm_eval), self.dtype,
                       name=f"layer1_{j}")(x)
         xs = [x]
         prev_channels = [planes * exp]
@@ -144,6 +144,6 @@ class HRNet(nn.Module):
                       or mi < scfg["num_modules"] - 1 or si < 4)
                 xs = HRModule(nb, scfg["block"], scfg["num_blocks"],
                               scfg["num_channels"], ms,
-                              self.norm_cfg or dict(type="BN"),
+                              norm_eval_cfg(self.norm_cfg, self.norm_eval),
                               self.dtype, name=f"stage{si}_module{mi}")(xs)
         return tuple(xs)

@@ -26,6 +26,7 @@ class InvertedResidual(nn.Module):
     out_channels: int
     stride: int
     expand_ratio: int
+    frozen_bn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -36,16 +37,16 @@ class InvertedResidual(nn.Module):
         if self.expand_ratio != 1:
             x = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand")(x)
-            x = FrozenBN(dtype=self.dtype, name="expand_bn")(x)
+            x = FrozenBN(dtype=self.dtype, frozen=self.frozen_bn, name="expand_bn")(x)
             x = nn.relu6(x)
         x = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], feature_group_count=hidden,
                     use_bias=False, dtype=self.dtype, name="dw")(x)
-        x = FrozenBN(dtype=self.dtype, name="dw_bn")(x)
+        x = FrozenBN(dtype=self.dtype, frozen=self.frozen_bn, name="dw_bn")(x)
         x = nn.relu6(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="project")(x)
-        x = FrozenBN(dtype=self.dtype, name="project_bn")(x)
+        x = FrozenBN(dtype=self.dtype, frozen=self.frozen_bn, name="project_bn")(x)
         if self.stride == 1 and inp == self.out_channels:
             x = x + identity
         return x
@@ -57,6 +58,8 @@ class MobileNetV2(nn.Module):
     out_indices: Sequence[int] = (1, 2, 4, 7)
     frozen_stages: int = -1
     norm_cfg: Any = None
+    norm_eval: bool = False          # reference mobilenet_v2.py default
+    act_cfg: Any = None
     init_cfg: Any = None
     dtype: Any = None
 
@@ -72,13 +75,14 @@ class MobileNetV2(nn.Module):
         c = _make_divisible(32 * self.widen_factor)
         x = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="stem")(x)
-        x = FrozenBN(dtype=self.dtype, name="stem_bn")(x)
+        x = FrozenBN(dtype=self.dtype, frozen=self.norm_eval, name="stem_bn")(x)
         x = nn.relu6(x)
         outs = []
         for si, (t, ch, nblk, s) in enumerate(self.arch):
             oc = _make_divisible(ch * self.widen_factor)
             for bi in range(nblk):
                 x = InvertedResidual(oc, s if bi == 0 else 1, t,
+                                     frozen_bn=self.norm_eval,
                                      dtype=self.dtype,
                                      name=f"layer{si + 1}_{bi}")(x)
             if si in self.out_indices:
@@ -88,6 +92,6 @@ class MobileNetV2(nn.Module):
                   if self.widen_factor > 1.0 else 1280)
             y = nn.Conv(oc, (1, 1), use_bias=False, dtype=self.dtype,
                         name="conv2")(x)
-            y = FrozenBN(dtype=self.dtype, name="conv2_bn")(y)
+            y = FrozenBN(dtype=self.dtype, frozen=self.norm_eval, name="conv2_bn")(y)
             outs.append(nn.relu6(y))
         return tuple(outs)

@@ -55,24 +55,25 @@ class RegBlock(nn.Module):
     width: int
     stride: int
     group_width: int
+    frozen_bn: bool = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         groups = max(self.width // self.group_width, 1)
         identity = x
-        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn1")(
+        y = nn.relu(FrozenBN(dtype=self.dtype, frozen=self.frozen_bn, name="bn1")(
             Conv(self.width, 1, 1, 0, use_bias=False, dtype=self.dtype,
                  name="conv1")(x)))
         y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], feature_group_count=groups,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn2")(y))
-        y = FrozenBN(dtype=self.dtype, name="bn3")(
+        y = nn.relu(FrozenBN(dtype=self.dtype, frozen=self.frozen_bn, name="bn2")(y))
+        y = FrozenBN(dtype=self.dtype, frozen=self.frozen_bn, name="bn3")(
             Conv(self.width, 1, 1, 0, use_bias=False, dtype=self.dtype,
                  name="conv3")(y))
         if self.stride != 1 or x.shape[-1] != self.width:
-            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(
+            identity = FrozenBN(dtype=self.dtype, frozen=self.frozen_bn, name="downsample_bn")(
                 Conv(self.width, 1, self.stride, 0, use_bias=False,
                      dtype=self.dtype, name="downsample_conv")(x))
         return nn.relu(y + identity)
@@ -98,12 +99,13 @@ class RegNet(nn.Module):
         widths, groups = _adjust(widths, groups)
         x = Conv(32, 3, 2, 1, use_bias=False, dtype=self.dtype,
                  name="stem")(x)
-        x = FrozenBN(dtype=self.dtype, name="stem_bn")(x)
+        x = FrozenBN(dtype=self.dtype, frozen=self.norm_eval, name="stem_bn")(x)
         x = nn.relu(x)
         outs = []
         for si, (wdt, nb, gw) in enumerate(zip(widths, blocks, groups)):
             for bi in range(nb):
-                x = RegBlock(wdt, 2 if bi == 0 else 1, gw, dtype=self.dtype,
+                x = RegBlock(wdt, 2 if bi == 0 else 1, gw,
+                             frozen_bn=self.norm_eval, dtype=self.dtype,
                              name=f"layer{si + 1}_{bi}")(x)
             if si in self.out_indices:
                 outs.append(x)

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES
-from ..layers import Conv, build_norm
+from ..layers import Conv, build_norm, norm_eval_cfg
 from .resnet import ResNet
 
 
@@ -130,7 +130,7 @@ class ResNeSt(nn.Module):
     @nn.compact
     def __call__(self, x):
         from ..layers import max_pool_3x3_s2
-        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        norm = build_norm(norm_eval_cfg(self.norm_cfg, self.norm_eval), self.dtype)
         for i, s in enumerate((2, 1, 1)):
             x = Conv(self.stem_channels // (2 if i < 2 else 1), 3, s, 1,
                      use_bias=False, dtype=self.dtype,
@@ -145,7 +145,7 @@ class ResNeSt(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 ds = j == 0 and (stride != 1 or x.shape[-1] != planes * 4)
                 x = BottleneckS(planes, stride, self.dilations[i], ds,
-                                self.style, self.norm_cfg or dict(type="BN"),
+                                self.style, norm_eval_cfg(self.norm_cfg, self.norm_eval),
                                 self.dtype, self.groups, self.base_width,
                                 self.radix, name=f"layer{i+1}_{j}")(x)
             if i in self.out_indices:

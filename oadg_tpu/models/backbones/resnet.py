@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES
-from ..layers import Conv, FrozenBN, build_norm, max_pool_3x3_s2
+from ..layers import Conv, build_norm, max_pool_3x3_s2, norm_eval_cfg
 
 
 class BasicBlock(nn.Module):
@@ -51,7 +51,7 @@ class BasicBlock(nn.Module):
         if self.downsample:
             identity = Conv(self.planes, 1, self.stride, 0, use_bias=False,
                             dtype=self.dtype, name="downsample_conv")(x)
-            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = norm(name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -94,7 +94,7 @@ class Bottleneck(nn.Module):
         if self.downsample:
             identity = Conv(self.planes * 4, 1, self.stride, 0, use_bias=False,
                             dtype=self.dtype, name="downsample_conv")(x)
-            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = norm(name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -124,7 +124,7 @@ class ResNet(nn.Module):
     dcn: Any = None                  # reference: dcn=dict(type='DCNv2', ...)
     stage_with_dcn: Any = (False, False, False, False)
     norm_cfg: Any = None
-    norm_eval: bool = True           # always true on TPU (frozen-stats BN)
+    norm_eval: bool = True           # False -> live (Sync)BN in train steps
     with_cp: bool = False            # activation checkpointing (jax remat)
     init_cfg: Any = None             # checkpoint init handled by converter
     dtype: Any = None
@@ -132,7 +132,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         block, stage_blocks = ARCH[self.depth]
-        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        ncfg = norm_eval_cfg(self.norm_cfg, self.norm_eval)
+        norm = build_norm(ncfg, self.dtype)
         if self.deep_stem:
             for i, s in enumerate((2, 1, 1)):
                 x = Conv(self.stem_channels // (2 if i < 2 else 1), 3, s, 1,
@@ -171,7 +172,7 @@ class ResNet(nn.Module):
                 # batches; e.g. batch 8 at 1024x2048 OOMs without it)
                 cls = nn.remat(block) if self.with_cp else block
                 x = cls(planes, stride, self.dilations[i], downsample,
-                        self.style, self.norm_cfg or dict(type="BN"),
+                        self.style, ncfg,
                         self.dtype, name=f"layer{i+1}_{j}", **kw)(x)
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)
@@ -224,7 +225,7 @@ class BottleneckX(nn.Module):
             identity = Conv(self.planes * 4, 1, self.stride, 0,
                             use_bias=False, dtype=self.dtype,
                             name="downsample_conv")(x)
-            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = norm(name="downsample_bn")(identity)
         return fnn.relu(out + identity)
 
 
@@ -239,7 +240,8 @@ class ResNeXt(ResNet):
     def __call__(self, x):
         import flax.linen as fnn
         _, stage_blocks = ARCH[self.depth]
-        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        ncfg = norm_eval_cfg(self.norm_cfg, self.norm_eval)
+        norm = build_norm(ncfg, self.dtype)
         x = Conv(self.stem_channels, 7, 2, 3, use_bias=False,
                  dtype=self.dtype, name="conv1")(x)
         x = norm()(x)
@@ -255,7 +257,7 @@ class ResNeXt(ResNet):
                 downsample = j == 0 and (stride != 1 or
                                          x.shape[-1] != planes * 4)
                 x = BottleneckX(planes, stride, self.dilations[i], downsample,
-                                self.style, self.norm_cfg or dict(type="BN"),
+                                self.style, ncfg,
                                 self.groups, self.base_width, self.dtype,
                                 name=f"layer{i+1}_{j}")(x)
             if self.frozen_stages >= i + 1:
@@ -314,7 +316,7 @@ class Bottle2neck(nn.Module):
                 if self.stride != 1 else x
             identity = Conv(self.planes * 4, 1, 1, 0, use_bias=False,
                             dtype=self.dtype, name="downsample_conv")(identity)
-            identity = FrozenBN(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = norm(name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -329,7 +331,8 @@ class Res2Net(ResNet):
     @nn.compact
     def __call__(self, x):
         _, stage_blocks = ARCH[self.depth]
-        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        ncfg = norm_eval_cfg(self.norm_cfg, self.norm_eval)
+        norm = build_norm(ncfg, self.dtype)
         for i, s in enumerate((2, 1, 1)):
             x = Conv(self.stem_channels // (2 if i < 2 else 1), 3, s, 1,
                      use_bias=False, dtype=self.dtype,
@@ -347,7 +350,7 @@ class Res2Net(ResNet):
                 downsample = j == 0 and (stride != 1 or
                                          x.shape[-1] != planes * 4)
                 x = Bottle2neck(planes, stride, self.dilations[i], downsample,
-                                self.style, self.norm_cfg or dict(type="BN"),
+                                self.style, ncfg,
                                 self.scales, self.base_width, self.dtype,
                                 name=f"layer{i+1}_{j}")(x)
             if self.frozen_stages >= i + 1:

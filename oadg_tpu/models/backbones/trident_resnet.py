@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES
-from ..layers import Conv, build_norm
+from ..layers import Conv, build_norm, norm_eval_cfg
 from .resnet import ARCH, Bottleneck, ResNet
 
 
@@ -90,7 +90,7 @@ class TridentResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         from ..layers import max_pool_3x3_s2
-        norm = build_norm(self.norm_cfg or dict(type="BN"), self.dtype)
+        norm = build_norm(norm_eval_cfg(self.norm_cfg, self.norm_eval), self.dtype)
         x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
                  name="conv1")(x)
         x = norm()(x)
@@ -103,7 +103,7 @@ class TridentResNet(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 ds = j == 0 and (stride != 1 or x.shape[-1] != planes * 4)
                 x = Bottleneck(planes, stride, self.dilations[i], ds,
-                               self.style, self.norm_cfg or dict(type="BN"),
+                               self.style, norm_eval_cfg(self.norm_cfg, self.norm_eval),
                                self.dtype, name=f"layer{i+1}_{j}")(x)
         # trident stage (stage 4)
         planes = 64 * 2 ** 3
@@ -113,7 +113,7 @@ class TridentResNet(nn.Module):
             last = j == stage_blocks[3] - 1
             branches = TridentBottleneck(
                 planes, 2 if j == 0 else 1, self.trident_dilations, ds,
-                last, self.norm_cfg or dict(type="BN"), self.dtype,
+                last, norm_eval_cfg(self.norm_cfg, self.norm_eval), self.dtype,
                 name=f"layer4_{j}")(branches)
         if self.mode == "train":
             out = jnp.concatenate(branches, axis=0)

@@ -101,10 +101,10 @@ class RetinaSepBNHead(RetinaHead):
 
     def setup(self):
         super().setup()
-        self.cls_bns = [[FrozenBN(name=f"cls_bn{li}_{i}")
+        self.cls_bns = [[FrozenBN(frozen=False, name=f"cls_bn{li}_{i}")
                          for i in range(self.stacked_convs)]
                         for li in range(self.num_levels)]
-        self.reg_bns = [[FrozenBN(name=f"reg_bn{li}_{i}")
+        self.reg_bns = [[FrozenBN(frozen=False, name=f"reg_bn{li}_{i}")
                          for i in range(self.stacked_convs)]
                         for li in range(self.num_levels)]
 

@@ -68,12 +68,12 @@ class YOLOFHead(nn.Module):
         self.cls_subnet = [Conv(self.in_channels, 3, 1, 1, dtype=self.dtype,
                                 name=f"cls_conv{i}")
                            for i in range(self.num_cls_convs)]
-        self.cls_bns = [FrozenBN(name=f"cls_bn{i}")
+        self.cls_bns = [FrozenBN(frozen=False, name=f"cls_bn{i}")
                         for i in range(self.num_cls_convs)]
         self.reg_subnet = [Conv(self.in_channels, 3, 1, 1, dtype=self.dtype,
                                 name=f"reg_conv{i}")
                            for i in range(self.num_reg_convs)]
-        self.reg_bns = [FrozenBN(name=f"reg_bn{i}")
+        self.reg_bns = [FrozenBN(frozen=False, name=f"reg_bn{i}")
                         for i in range(self.num_reg_convs)]
         self.cls_score = Conv(na * self.num_classes, 3, 1, 1,
                               dtype=self.dtype)

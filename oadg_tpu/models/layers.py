@@ -49,13 +49,35 @@ class Conv(nn.Module):
 
 
 class FrozenBN(nn.Module):
-    """BatchNorm in eval mode: y = scale * (x - mean) / sqrt(var + eps) + bias.
+    """BatchNorm. Despite the historical name this is the full layer —
+    the class name is load-bearing (it is baked into parameter paths used
+    by checkpoints, the torch converter and the optimizer freeze masks),
+    so both modes live here:
+
+    * ``frozen=True`` (default, the reference's ``norm_eval=True``):
+      y = scale * (x - mean) / sqrt(var + eps) + bias with stored moving
+      statistics; never updates them. Bit-identical to the round-1/2
+      behavior.
+    * ``frozen=False`` (live BN, reference ``norm_eval=False`` — YOLOv3
+      neck/head, CSPDarknet/YOLOX, SyncBN configs): when the
+      ``batch_stats`` collection is mutable (i.e. inside a train step
+      applied with ``mutable=['batch_stats']``) normalize with the batch
+      statistics and fold them into the moving stats. Under pjit the
+      reductions run over the GLOBAL sharded batch, so XLA inserts the
+      cross-chip collective automatically — live BN on a mesh IS SyncBN
+      (reference SyncBN: mmdet configs ``norm_cfg=dict(type='SyncBN')``).
+      Outside a mutable apply (eval / inference) it falls back to moving
+      statistics, matching ``module.eval()`` semantics.
 
     Mean/var are non-trainable ``batch_stats`` variables; scale/bias are
-    params (frozen or not by the optimizer mask).
+    params (frozen or not by the optimizer mask). ``momentum`` is the
+    decay of the OLD stats (torch momentum m -> here ``1 - m``); the
+    moving var is updated with the unbiased estimate like torch.
     """
     eps: float = 1e-5
     dtype: Optional[Dtype] = None
+    frozen: bool = True
+    momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x):
@@ -65,10 +87,31 @@ class FrozenBN(nn.Module):
         mean = self.variable("batch_stats", "mean", jnp.zeros, (c,))
         var = self.variable("batch_stats", "var", jnp.ones, (c,))
         dt = self.dtype or x.dtype
-        inv = jax.lax.rsqrt(var.value.astype(jnp.float32) + self.eps)
+        live = ((not self.frozen) and not self.is_initializing()
+                and self.is_mutable_collection("batch_stats"))
+        if live:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            m = jnp.mean(xf, axis=axes)
+            v = jnp.maximum(jnp.mean(jnp.square(xf), axis=axes)
+                            - jnp.square(m), 0.0)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            corr = n / max(n - 1, 1)          # torch stores unbiased var
+            mom = self.momentum
+            mean.value = jax.lax.stop_gradient(
+                mom * mean.value + (1.0 - mom) * m)
+            var.value = jax.lax.stop_gradient(
+                mom * var.value + (1.0 - mom) * v * corr)
+            use_m, use_v = m, v
+        else:
+            use_m = mean.value.astype(jnp.float32)
+            use_v = var.value.astype(jnp.float32)
+        inv = jax.lax.rsqrt(use_v + self.eps)
         w = (scale.astype(jnp.float32) * inv).astype(dt)
         b = (bias.astype(jnp.float32)
-             - mean.value.astype(jnp.float32) * scale.astype(jnp.float32) * inv).astype(dt)
+             - use_m * scale.astype(jnp.float32) * inv).astype(dt)
         return x * w + b
 
 
@@ -85,16 +128,37 @@ class GroupNorm32(nn.Module):
 
 
 def build_norm(norm_cfg: Optional[dict], dtype=None) -> Callable:
-    """norm_cfg dict (mmdet schema) -> linen module factory."""
+    """norm_cfg dict (mmdet schema) -> linen module factory.
+
+    BN/SyncBN mode: live batch statistics by default (the reference's
+    ``model.train()`` puts every BN in train mode), except when the cfg
+    carries ``_eval=True`` — backbones inject that from their
+    ``norm_eval`` flag before propagating norm_cfg to their blocks
+    (reference resnet.py train() / darknet.py:174). torch ``momentum``
+    (default 0.1) and ``eps`` from the cfg are honored
+    (csp_darknet.py norm_cfg momentum=0.03 eps=0.001).
+    """
     if norm_cfg is None:
-        return lambda: (lambda x: x)
+        return lambda **kw: (lambda x: x)
     t = norm_cfg.get("type", "BN")
-    if t in ("BN", "SyncBN"):                 # syncBN: stats frozen anyway
-        return lambda: FrozenBN(dtype=dtype)
+    if t in ("BN", "SyncBN", "MMSyncBN"):
+        frozen = bool(norm_cfg.get("_eval", False))
+        eps = float(norm_cfg.get("eps", 1e-5))
+        mom = 1.0 - float(norm_cfg.get("momentum", 0.1))
+        return lambda **kw: FrozenBN(dtype=dtype, frozen=frozen, eps=eps,
+                                     momentum=mom, **kw)
     if t == "GN":
         ng = norm_cfg.get("num_groups", 32)
-        return lambda: GroupNorm32(num_groups=ng, dtype=dtype)
+        return lambda **kw: GroupNorm32(num_groups=ng, dtype=dtype, **kw)
     raise NotImplementedError(f"norm type {t}")
+
+
+def norm_eval_cfg(norm_cfg: Optional[dict], norm_eval: bool) -> Optional[dict]:
+    """Inject a backbone's ``norm_eval`` flag into the norm_cfg it
+    propagates to its blocks (consumed by :func:`build_norm`)."""
+    if norm_cfg is None:
+        norm_cfg = dict(type="BN")
+    return {**dict(norm_cfg), "_eval": bool(norm_eval)}
 
 
 class ConvModule(nn.Module):

@@ -104,14 +104,14 @@ class _DilatedBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_ch = x.shape[-1]
-        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn1")(
+        y = nn.relu(FrozenBN(dtype=self.dtype, frozen=False, name="bn1")(
             Conv(self.mid_channels, 1, 1, 0, dtype=self.dtype,
                  name="conv1")(x)))
         d = self.dilation
-        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn2")(
+        y = nn.relu(FrozenBN(dtype=self.dtype, frozen=False, name="bn2")(
             Conv(self.mid_channels, 3, 1, d, dilation=d, dtype=self.dtype,
                  name="conv2")(y)))
-        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn3")(
+        y = nn.relu(FrozenBN(dtype=self.dtype, frozen=False, name="bn3")(
             Conv(out_ch, 1, 1, 0, dtype=self.dtype, name="conv3")(y)))
         return x + y
 
@@ -130,10 +130,10 @@ class DilatedEncoder(nn.Module):
     @nn.compact
     def __call__(self, inputs):
         x = inputs[-1]
-        x = FrozenBN(dtype=self.dtype, name="lateral_bn")(
+        x = FrozenBN(dtype=self.dtype, frozen=False, name="lateral_bn")(
             Conv(self.out_channels, 1, 1, 0, dtype=self.dtype,
                  name="lateral")(x))
-        x = FrozenBN(dtype=self.dtype, name="fpn_bn")(
+        x = FrozenBN(dtype=self.dtype, frozen=False, name="fpn_bn")(
             Conv(self.out_channels, 3, 1, 1, dtype=self.dtype,
                  name="fpn_conv")(x))
         for i in range(self.num_residual_blocks):

@@ -9,6 +9,7 @@ import flax.linen as nn
 
 from ...utils.registry import HEADS
 from ..backbones.resnet import ARCH, Bottleneck
+from ..layers import norm_eval_cfg
 
 
 @HEADS.register_module()
@@ -30,6 +31,7 @@ class ResLayer(nn.Module):
             stride = self.stride if j == 0 else 1
             ds = j == 0 and (stride != 1 or x.shape[-1] != planes * 4)
             x = Bottleneck(planes, stride, self.dilation, ds, self.style,
-                           self.norm_cfg or dict(type="BN"), self.dtype,
+                           norm_eval_cfg(self.norm_cfg, self.norm_eval),
+                           self.dtype,
                            name=f"layer{self.stage+1}_{j}")(x)
         return x

@@ -55,14 +55,14 @@ def main():
                            preprocess=preprocess)
 
     t0 = time.perf_counter()
-    params, opt_state, log_vars = step(params, batch_stats, opt_state, batch,
+    params, batch_stats, opt_state, log_vars = step(params, batch_stats, opt_state, batch,
                                        jax.random.PRNGKey(2))
     _ = float(log_vars["loss"])
     print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     with jax.profiler.trace(prof_dir):
         for i in range(3):
-            params, opt_state, log_vars = step(
+            params, batch_stats, opt_state, log_vars = step(
                 params, batch_stats, opt_state, batch, jax.random.PRNGKey(9 + i))
             _ = float(log_vars["loss"])
     print(f"trace written to {prof_dir}", file=sys.stderr)
