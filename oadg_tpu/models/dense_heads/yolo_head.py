@@ -266,16 +266,25 @@ class YOLOV3HeadCont(YOLOV3Head):
     conv per level; JSD consistency on conf/cls across views; supcontrast
     over sampled anchor embeddings."""
     cont_feat_channels: int = 256
-    jsd_conf_weight: float = 0.0
-    jsd_cls_weight: float = 0.0
+    jsd_conf_weight: float = 1.0
+    jsd_cls_weight: float = 1.0
     cont_loss_weight: float = 0.1
-    temperature: float = 0.06
+    temperature: float = 0.07
     max_cont_anchors: int = 512
+    wo_pos: bool = False             # reference yolo_head_cont.py:93
+    cont_cfg: Any = None             # dict(loss_weight=, dim=, temperature=)
 
     def setup(self):
         super().setup()
+        # cont_cfg is the reference's config schema
+        # (yolo_head_cont.py:84-90: loss_weight/dim/temperature keys);
+        # explicit fields take effect when cont_cfg is absent.
+        cc = dict(self.cont_cfg or {})
+        self.cont_w = float(cc.get("loss_weight", self.cont_loss_weight))
+        self.cont_dim = int(cc.get("dim", self.cont_feat_channels))
+        self.cont_temper = float(cc.get("temperature", self.temperature))
         self.cont_convs = [
-            ConvModule(self.cont_feat_channels, 3, 1, 1,
+            ConvModule(self.cont_dim, 3, 1, 1,
                        norm_cfg=self.norm_cfg or dict(type="BN"),
                        act="leaky_relu", dtype=self.dtype,
                        name=f"conv_cont{i}")
@@ -291,51 +300,68 @@ class YOLOV3HeadCont(YOLOV3Head):
 
     def loss(self, outs, gt_bboxes, gt_valid, gt_labels, rng=None):
         pred_maps, cont_maps = outs
-        losses = super().loss(pred_maps, gt_bboxes, gt_valid, gt_labels)
         n = pred_maps[0].shape[0]
         v = self.num_views
+        b = n // max(v, 1)
+        # Supervised losses are VIEW-1 ONLY (reference yolo_head_cont.py
+        # loss_single slices pred[[0,1]] = the first samples_per_gpu=2
+        # entries of the views-major batch, i.e. view 1).
+        if v > 1:
+            losses = super().loss([m[:b] for m in pred_maps],
+                                  gt_bboxes[:b], gt_valid[:b], gt_labels[:b])
+        else:
+            losses = super().loss(pred_maps, gt_bboxes, gt_valid, gt_labels)
         pred = jnp.concatenate(
             [m.reshape(n, -1, self.num_attrib) for m in pred_maps], axis=1)
         pred32 = pred.astype(jnp.float32)
         k = pred.shape[1]
-        if v > 1 and self.jsd_conf_weight:
-            losses["loss_jsd_conf"] = self.jsd_conf_weight * jsd_consistency(
-                pred32[..., 4].reshape(-1, 1), v, float(n * k) / v)
-        if v > 1 and self.jsd_cls_weight:
-            losses["loss_jsd_cls"] = self.jsd_cls_weight * jsd_consistency(
-                pred32[..., 5:].reshape(-1, self.num_classes), v,
-                float(n * k) / v)
-        if v > 1 and self.cont_loss_weight and rng is not None:
-            # sample pos + random negative anchor embeddings (views share
-            # the same anchor indices, yolo_head_cont.py:441-466)
+        if v > 1:
+            # per-view target maps: jsd_cls multiplies logits by its row's
+            # own pos mask unless wo_pos (yolo_head_cont.py:437); the cont
+            # sampling reuses them below.
             featmap_sizes = [tuple(m.shape[1:3]) for m in pred_maps]
-            cont = jnp.concatenate(
-                [c.reshape(n, -1, self.cont_feat_channels)
-                 for c in cont_maps], axis=1)
-            # repeat per-anchor count per location
-            reps = [len(b) for b in self.prior_gen.base_sizes]
+            anchors_np = self.prior_gen.grid_priors(featmap_sizes)
+            strides_all = jnp.concatenate([
+                jnp.full((len(a),), s, jnp.float32)
+                for a, s in zip(anchors_np, self.featmap_strides)])
+            anchors_all = jnp.concatenate(anchors_np)
+            tgt_all, _ = jax.vmap(
+                lambda g, vv, l: self._targets_single(
+                    anchors_all, None, strides_all, g, vv, l))(
+                gt_bboxes, gt_valid, gt_labels)
+            pos_all = tgt_all[..., 4:5]                        # (N, K, 1)
+        if v > 1 and self.jsd_conf_weight:
+            # batchmean: reference divides each view-chunk KL sum by its
+            # leading dim (= b), per level; summing levels first and
+            # dividing once by b is identical.
+            losses["loss_csconf"] = self.jsd_conf_weight * jsd_consistency(
+                pred32[..., 4].reshape(n, -1, 1), v, float(b))
+        if v > 1 and self.jsd_cls_weight:
+            cls_logits = pred32[..., 5:]
+            if not self.wo_pos:
+                cls_logits = cls_logits * pos_all
+            losses["loss_cscls"] = self.jsd_cls_weight * jsd_consistency(
+                cls_logits, v, float(b))
+        if v > 1 and self.cont_w and rng is not None:
+            # sample pos + random negative anchor embeddings; views share
+            # the same anchor indices — the supcontrast_yolo mask pairs
+            # row i of view 1 with row i of view 2 as "same instance"
+            # (reference contrastive_loss.py:269-275)
+            # repeat per-anchor count per location (cont maps are
+            # per-location, pred maps per-anchor)
+            reps = [len(bs) for bs in self.prior_gen.base_sizes]
             cont = jnp.concatenate([
                 jnp.repeat(c.reshape(n, fs[0] * fs[1], -1), r, axis=1)
                 for c, fs, r in zip(
-                    [c.reshape(n, -1, self.cont_feat_channels)
+                    [c.reshape(n, -1, self.cont_dim)
                      for c in cont_maps], featmap_sizes, reps)], axis=1)
-            anchors_np = self.prior_gen.grid_priors(featmap_sizes)
-            anchors = jnp.concatenate(anchors_np)
-            strides = jnp.concatenate([
-                jnp.full((len(a),), s, jnp.float32)
-                for a, s in zip(anchors_np, self.featmap_strides)])
-            target, _ = jax.vmap(
-                lambda g, vv, l: self._targets_single(anchors, None, strides,
-                                                      g, vv, l))(
-                gt_bboxes, gt_valid, gt_labels)
-            pos = target[:, :, 4] > 0                   # (N, K)
-            b = n // v
+            pos = tgt_all[:, :, 4] > 0                  # (N, K)
             m = self.max_cont_anchors
             rank = jnp.where(pos[:b], 0.0, 1.0) + \
                 jax.random.uniform(rng, pos[:b].shape) * 0.1
             sel = jnp.argsort(rank, axis=1)[:, :m]      # pos first + random
             labels_full = jnp.where(
-                pos, jnp.argmax(target[..., 5:], -1), self.num_classes)
+                pos, jnp.argmax(tgt_all[..., 5:], -1), self.num_classes)
             feats_sel = []
             labels_sel = []
             for view in range(v):
@@ -348,7 +374,7 @@ class YOLOV3HeadCont(YOLOV3Head):
             all_feats = jnp.concatenate(feats_sel).astype(jnp.float32)
             all_labels = jnp.concatenate(labels_sel)
             valid = jnp.ones_like(all_labels, bool)
-            losses["loss_cont"] = self.cont_loss_weight * supcontrast(
+            losses["loss_cont"] = self.cont_w * supcontrast(
                 all_feats, all_labels, valid, (m * b, v, 0),
-                temper=self.temperature)
+                temper=self.cont_temper)
         return losses
