@@ -28,6 +28,7 @@ class DetectorHandle:
         self.num_classes = num_classes
         self.CLASSES = None
         self._test_fn = make_test_step(detector)
+        self._pipeline = None  # lazily-built test pipeline (cached)
 
     def test(self, batch):
         return self._test_fn(self.variables["params"],
@@ -87,11 +88,16 @@ def _test_pipeline(cfg) -> Compose:
     return Compose(pipeline)
 
 
-def prepare_batch(model: DetectorHandle, img) -> dict:
+def prepare_batch(model: DetectorHandle, img,
+                  pipeline: Optional[Compose] = None) -> dict:
     """Image path or array -> a 1-image test batch dict (the pipeline +
     pad-to-32 step of ``inference_detector``, exposed for notebooks and
-    feature-visualization workflows)."""
-    pipeline = _test_pipeline(model.cfg)
+    feature-visualization workflows). The built pipeline is cached on the
+    handle so per-image calls don't rebuild it."""
+    if pipeline is None:
+        if model._pipeline is None:
+            model._pipeline = _test_pipeline(model.cfg)
+        pipeline = model._pipeline
     if isinstance(img, str):
         import cv2
         arr = cv2.imread(img)

@@ -77,7 +77,10 @@ class MaxIoUAssigner:
             (padding / out-of-image anchors) are assigned -1 (ignore).
         """
         ious = bbox_overlaps(bboxes, gt_bboxes)          # (N, G)
-        ious = jnp.where(gt_valid[None, :], ious, -1.0)  # mask padded gts
+        # Mask padded gts with 0.0 (not -1): the reference treats empty-gt
+        # images as all-NEGATIVE (max_overlap 0 -> below neg_iou_thr), and
+        # ApproxMaxIoUAssigner shares this convention.
+        ious = jnp.where(gt_valid[None, :], ious, 0.0)
         return self.assign_from_ious(ious, gt_valid, gt_labels, box_valid)
 
     def assign_from_ious(self, ious, gt_valid, gt_labels=None, box_valid=None) -> AssignResult:

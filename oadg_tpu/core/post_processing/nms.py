@@ -153,7 +153,10 @@ def soft_nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray,
             decay = jnp.exp(-(row ** 2) / sigma)
         else:
             decay = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
-        cur = jnp.where(ok, cur * decay, cur)
+        # Guard eliminated (-inf) entries: -inf * 0 (linear decay at IoU==1)
+        # would produce NaN, which argmax then prefers, burning pick budget.
+        live = ok & (cur > neg_inf)
+        cur = jnp.where(live, cur * decay, cur)
         cur = cur.at[m].set(neg_inf)
         return cur, out_sc, keep
 

@@ -37,6 +37,23 @@ class StaticBatcher:
         self.divisor = divisor
 
     def __call__(self, samples: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        if samples and samples[0].get("__tta__"):
+            # MultiScaleFlipAug output: each key holds one entry per
+            # (scale, flip) view. Collate each view into its own batch
+            # (shapes differ per scale) + static flip metadata for the
+            # jitted aug_test step (apis/test.py TTA dispatch).
+            nv = len(samples[0]["img"])
+            views, metas = [], []
+            for vi in range(nv):
+                sub = [{k: (s[k][vi] if isinstance(s[k], list) else s[k])
+                        for k in s if k != "__tta__"} for s in samples]
+                views.append(self(sub))
+                m0 = samples[0]["img_metas"][vi]
+                metas.append((bool(m0.get("flip", False)),
+                              str(m0.get("flip_direction", "horizontal"))))
+            return {"__tta_views__": views,
+                    "__tta_metas__": tuple(metas),
+                    "metas": [s["img_metas"][0] for s in samples]}
         b = len(samples)
         if self.static_hw is not None:
             h, w = self.static_hw
@@ -138,6 +155,18 @@ class PrefetchLoader:
             batches = batches + batches[:pad]
             batches = batches[self.rank::self.world_size]
         return batches
+
+    def result_indices(self) -> np.ndarray:
+        """Dataset indices this rank's batches cover, in iteration order —
+        the key for cross-process result collection (apis/test.py
+        collect_results_allgather). RNG state is restored so calling this
+        does not perturb the epoch's shuffle."""
+        state = self.rng.get_state()
+        batches = self._batch_indices()
+        self.rng.set_state(state)
+        if not batches:
+            return np.zeros(0, np.int64)
+        return np.concatenate([np.asarray(b, np.int64) for b in batches])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batch_indices()

@@ -6,6 +6,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES, DETECTORS, HEADS, NECKS, build_from_cfg
@@ -48,7 +49,10 @@ class SingleStageDetector(nn.Module):
             x = self.neck_m(x)
         return x
 
-    def __call__(self, batch: Dict[str, jnp.ndarray], mode: str = "train"):
+    def __call__(self, batch, mode: str = "train"):
+        if mode == "aug_test":
+            views, metas = batch
+            return self.aug_test(views, metas)
         feats = self.extract_feat(batch["img"])
         outs = self.head(feats)
         if mode == "train":
@@ -62,6 +66,59 @@ class SingleStageDetector(nn.Module):
         sf = batch.get("scale_factor",
                        jnp.ones((batch["img"].shape[0], 4), jnp.float32))
         return self.head.get_bboxes(outs, batch["img_shape"], sf)
+
+    def aug_test(self, views, metas):
+        """Test-time augmentation (reference
+        dense_test_mixins.aug_test_bboxes + merge_augs.py:84): run each
+        view, map its rescaled detections back to the original frame
+        (flip-back within the original extent), pool every view's
+        detections and run one class-aware NMS.
+
+        Divergence from the reference noted: the reference concatenates
+        PRE-NMS candidate boxes across views; here each view contributes
+        its top ``max_per_img`` post-NMS detections before the merged NMS
+        — identical results unless a view has more than max_per_img
+        near-duplicate candidates.
+
+        ``metas`` is a STATIC tuple of (flip, flip_direction) per view.
+        """
+        from ...core.bbox.transforms import bbox_flip
+        from ...core.post_processing.nms import batched_nms_padded
+
+        cfg = dict(self.test_cfg or {})
+        iou_thr = float(dict(cfg.get("nms", {})).get("iou_threshold", 0.5))
+        mpi = int(cfg.get("max_per_img", 100))
+
+        all_d, all_l, all_v = [], [], []
+        for vd, (flip, fdir) in zip(views, metas):
+            feats = self.extract_feat(vd["img"])
+            outs = self.head(feats)
+            sf = vd.get("scale_factor",
+                        jnp.ones((vd["img"].shape[0], 4), jnp.float32))
+            dets, labels, valid = self.head.get_bboxes(
+                outs, vd["img_shape"], sf)        # rescaled: original frame
+            if flip:
+                # original extent: view shape (h, w) / (h_scale, w_scale)
+                ori_shape = vd["img_shape"] / sf[:, (1, 0)]
+                boxes = jax.vmap(
+                    lambda bx, s: bbox_flip(bx, s, fdir))(
+                    dets[..., :4], ori_shape)
+                dets = jnp.concatenate([boxes, dets[..., 4:]], axis=-1)
+            all_d.append(dets)
+            all_l.append(labels)
+            all_v.append(valid)
+
+        dets = jnp.concatenate(all_d, axis=1)
+        labels = jnp.concatenate(all_l, axis=1)
+        valid = jnp.concatenate(all_v, axis=1)
+
+        def fin(d, l, v):
+            keep = batched_nms_padded(d[:, :4], d[:, 4], l, iou_thr, valid=v)
+            sc = jnp.where(keep, d[:, 4], -jnp.inf)
+            top_s, ti = jax.lax.top_k(sc, min(mpi, sc.shape[0]))
+            return d[ti], l[ti], jnp.isfinite(top_s)
+
+        return jax.vmap(fin)(dets, labels, valid)
 
 
 @DETECTORS.register_module()

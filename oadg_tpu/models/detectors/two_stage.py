@@ -150,9 +150,12 @@ class TwoStageDetector(nn.Module):
 
     # ---------------- train / test ----------------
 
-    def __call__(self, batch: Dict[str, jnp.ndarray], mode: str = "train"):
+    def __call__(self, batch, mode: str = "train"):
         if mode == "train":
             return self.forward_train(batch)
+        if mode == "aug_test":
+            views, metas = batch
+            return self.aug_test(views, metas)
         return self.simple_test(batch)
 
     def forward_train(self, batch):
@@ -202,6 +205,108 @@ class TwoStageDetector(nn.Module):
                        jnp.ones((batch["img"].shape[0], 4), jnp.float32))
         return self.roi.simple_test(feats, prop_boxes, prop_valid,
                                     batch["img_shape"], sf, rescale=rescale)
+
+    def aug_test(self, views, metas):
+        """Test-time augmentation (reference two_stage.py:268 aug_test,
+        core/post_processing/merge_augs.py:13 merge_aug_proposals + :84
+        merge_aug_bboxes):
+
+        1. per-view RPN proposals, mapped back to the ORIGINAL image frame
+           (flip-back + un-scale), concatenated, one NMS -> shared merged
+           proposal set;
+        2. per-view RoI forward on the SAME merged proposals (mapped into
+           each view's frame), decoded boxes mapped back;
+        3. boxes and softmax scores AVERAGED over views, then one
+           multiclass NMS with the rcnn test_cfg.
+
+        Args:
+            views: tuple of per-view batch dicts (img (B,Hv,Wv,3),
+                img_shape (B,2), scale_factor (B,4)) — shapes may differ
+                per view (multi-scale TTA); XLA compiles each branch once.
+            metas: STATIC tuple of (flip: bool, flip_direction: str) per
+                view (closed over by the jitted step, not traced).
+        """
+        from ...core.bbox.transforms import bbox_flip
+        from ...core.post_processing.nms import multiclass_nms, nms_padded
+
+        rpn_cfg = dict(self.test_cfg or {}).get("rpn", {})
+        rcnn_cfg = dict(self.test_cfg or {}).get("rcnn", {})
+
+        def flip_im(boxes, shapes, fdir):
+            return jax.vmap(lambda bx, s: bbox_flip(bx, s, fdir))(boxes,
+                                                                  shapes)
+
+        feats_l, boxes_l, scores_l, valid_l = [], [], [], []
+        for vd, (flip, fdir) in zip(views, metas):
+            feats = self.extract_feat(vd["img"])
+            feats_l.append(feats)
+            cs, bp = self.rpn(feats)
+            pb, ps, pv = self.rpn.get_proposals(cs, bp, vd["img_shape"],
+                                                rpn_cfg)
+            if flip:
+                pb = flip_im(pb, vd["img_shape"], fdir)
+            boxes_l.append(pb / vd["scale_factor"][:, None, :4])
+            scores_l.append(ps)
+            valid_l.append(pv)
+
+        cat_b = jnp.concatenate(boxes_l, axis=1)
+        cat_s = jnp.concatenate(scores_l, axis=1)
+        cat_v = jnp.concatenate(valid_l, axis=1)
+        iou_thr = float(dict(rpn_cfg.get("nms", {})).get("iou_threshold",
+                                                         0.7))
+        max_num = int(rpn_cfg.get("max_per_img", 1000))
+
+        def merge_one(b, s, v):
+            keep = nms_padded(b, s, iou_thr, valid=v)
+            sc = jnp.where(keep, s, -jnp.inf)
+            top_s, ti = jax.lax.top_k(sc, min(max_num, sc.shape[0]))
+            return b[ti], jnp.isfinite(top_s)
+
+        props, pvalid = jax.vmap(merge_one)(cat_b, cat_s, cat_v)
+        n, p = props.shape[:2]
+        bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), p).reshape(n, p)
+
+        agg_boxes = agg_scores = None
+        for vd, feats, (flip, fdir) in zip(views, feats_l, metas):
+            vb = props * vd["scale_factor"][:, None, :4]
+            if flip:
+                vb = flip_im(vb, vd["img_shape"], fdir)
+            rois = jnp.concatenate([bidx[..., None], vb], -1).reshape(-1, 5)
+            rf = self.roi.extract(feats, rois)
+            if self.roi.shared_head_m is not None:
+                rf = self.roi.shared_head_m(rf)
+            cls_score, bbox_pred = self.roi.head(rf)[:2]
+            cls_score = cls_score.reshape(n, p, -1)
+            bbox_pred = bbox_pred.reshape(n, p, -1)
+            rois_im = rois.reshape(n, p, 5)
+
+            def one(rois_i, cls_i, reg_i, shape, sf):
+                return self.roi.head.get_bboxes(
+                    rois_i, cls_i, reg_i, (shape[0], shape[1]), sf,
+                    rescale=False)
+
+            bxs, scs = jax.vmap(one)(rois_im, cls_score, bbox_pred,
+                                     vd["img_shape"], vd["scale_factor"])
+            bxs = bxs.reshape(n, -1, 4)              # (n, p*C, 4) view frame
+            if flip:
+                bxs = flip_im(bxs, vd["img_shape"], fdir)
+            bxs = bxs / vd["scale_factor"][:, None, :4]
+            agg_boxes = bxs if agg_boxes is None else agg_boxes + bxs
+            agg_scores = scs if agg_scores is None else agg_scores + scs
+
+        nv = len(views)
+        boxes = (agg_boxes / nv).reshape(n, p, -1)
+        scores = agg_scores / nv
+        score_thr = float(rcnn_cfg.get("score_thr", 0.05))
+        iou = float(dict(rcnn_cfg.get("nms", {})).get("iou_threshold", 0.5))
+        mpi = int(rcnn_cfg.get("max_per_img", 100))
+        nc = self.roi.head.num_classes
+
+        def fin(b, s, pv):
+            s = jnp.where(pv[:, None], s, 0.0)
+            return multiclass_nms(b, s, score_thr, iou, mpi, nc)
+
+        return jax.vmap(fin)(boxes, scores, pvalid)
 
 
 @DETECTORS.register_module()

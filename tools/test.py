@@ -49,7 +49,7 @@ def load_model_state(cfg, checkpoint):
                                     load_checkpoint_variables(checkpoint))
     return dict(test_fn=make_test_step(det), params=variables["params"],
                 batch_stats=variables.get("batch_stats"),
-                num_classes=_num_classes(cfg))
+                num_classes=_num_classes(cfg), detector=det)
 
 
 def build_test_loader(cfg, test_cfg=None):
@@ -73,10 +73,14 @@ def main():
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
 
-    from oadg_tpu.apis.test import single_gpu_test
+    from oadg_tpu.apis.test import multi_gpu_test, single_gpu_test
     dataset, loader = build_test_loader(cfg)
     model_state = load_model_state(cfg, args.checkpoint)
-    results = single_gpu_test(model_state, loader)
+    import jax
+    if jax.process_count() > 1:
+        results = multi_gpu_test(model_state, loader)
+    else:
+        results = single_gpu_test(model_state, loader)
 
     metrics = None
     if args.out:
