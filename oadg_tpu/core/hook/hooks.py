@@ -74,12 +74,23 @@ class NumClassCheckHook(Hook):
 
 @HOOKS.register_module()
 class EMAHook(Hook):
-    """Exponential moving average of params (reference core/hook/ema.py)."""
+    """Exponential moving average of params (reference core/hook/ema.py:18).
+
+    Lifecycle matches mmcv: the EMA copy updates every ``interval`` train
+    iters; at ``after_train_epoch`` the EMA params are SWAPPED into the
+    runner (so checkpointing and the per-epoch eval both see the averaged
+    weights), and swapped back at ``before_train_epoch`` so training
+    continues from the raw weights.
+    """
 
     def __init__(self, momentum: float = 0.0002, interval: int = 1, **kw):
         self.momentum = momentum
         self.interval = interval
         self.ema_params = None
+        self._swapped = False
+
+    def _momentum_at(self, runner):
+        return self.momentum
 
     def after_train_iter(self, runner, log_vars):
         if runner.iter % self.interval:
@@ -88,13 +99,113 @@ class EMAHook(Hook):
             self.ema_params = jax.tree_util.tree_map(lambda x: x,
                                                      runner.params)
             return
-        m = self.momentum
+        m = self._momentum_at(runner)
         self.ema_params = jax.tree_util.tree_map(
             lambda e, p: (1 - m) * e + m * p, self.ema_params, runner.params)
 
     def swap(self, runner):
         if self.ema_params is not None:
             runner.params, self.ema_params = self.ema_params, runner.params
+            self._swapped = not self._swapped
+
+    def after_train_epoch(self, runner):
+        self.swap(runner)                   # eval/ckpt on EMA weights
+
+    def before_train_epoch(self, runner):
+        if self._swapped:
+            self.swap(runner)               # train on raw weights
+
+    def after_run(self, runner):
+        if self._swapped:                   # leave EMA weights in place
+            self._swapped = False
+
+
+@HOOKS.register_module()
+class ExpMomentumEMAHook(EMAHook):
+    """EMA with exponentially decaying momentum (reference
+    core/hook/ema.py:104, the YOLOX recipe):
+    m_t = (1 - m) * exp(-(1 + t) / gamma) + m."""
+
+    def __init__(self, momentum: float = 0.0002, gamma: int = 2000,
+                 interval: int = 1, **kw):
+        super().__init__(momentum=momentum, interval=interval)
+        self.gamma = float(gamma)
+
+    def _momentum_at(self, runner):
+        import math
+        t = runner.iter
+        return ((1 - self.momentum) * math.exp(-(1 + t) / self.gamma)
+                + self.momentum)
+
+
+@HOOKS.register_module()
+class LinearMomentumEMAHook(EMAHook):
+    """EMA with linearly warmed momentum (reference core/hook/ema.py:130):
+    m_t = min(m, (1 + t) / (gamma + t))."""
+
+    def __init__(self, momentum: float = 0.0002, gamma: int = 100,
+                 warm_up: int = 100, interval: int = 1, **kw):
+        super().__init__(momentum=momentum, interval=interval)
+        self.gamma = float(gamma)
+
+    def _momentum_at(self, runner):
+        t = runner.iter
+        return min(self.momentum, (1 + t) / (self.gamma + t))
+
+
+@HOOKS.register_module()
+class YOLOXModeSwitchHook(Hook):
+    """Reference core/hook/yolox_mode_switch_hook.py: for the final
+    ``num_last_epochs`` epochs, strong augmentations (Mosaic/MixUp/
+    RandomAffine) are skipped and the head's extra L1 loss turns on. The
+    TPU analog rebuilds the jitted train step once at the switch epoch
+    (one extra compile) with ``bbox_head.use_l1=True``."""
+
+    def __init__(self, num_last_epochs: int = 15,
+                 skip_type_keys=("Mosaic", "RandomAffine", "MixUp"), **kw):
+        self.num_last_epochs = num_last_epochs
+        self.skip_type_keys = tuple(skip_type_keys)
+        self._done = False
+
+    def before_train_epoch(self, runner):
+        if self._done or runner.epoch < runner.max_epochs - self.num_last_epochs:
+            return
+        self._done = True
+        ds = getattr(runner.loader, "dataset", None)
+        if hasattr(ds, "update_skip_type_keys"):
+            ds.update_skip_type_keys(self.skip_type_keys)
+        runner.logger.info(
+            f"YOLOXModeSwitch: skipping {self.skip_type_keys}, adding L1")
+        if hasattr(runner, "enable_head_l1"):
+            runner.enable_head_l1()
+
+
+@HOOKS.register_module()
+class SyncRandomSizeHook(Hook):
+    """Reference core/hook/sync_random_size_hook.py: periodically change
+    the train input size, synchronized across ranks. TPU-native version:
+    sizes come from a static list and all ranks derive the SAME choice
+    from the epoch/iter counter (no broadcast needed — the schedule is
+    deterministic); each new size compiles once and is then cached."""
+
+    def __init__(self, ratio_range=(14, 26), img_scale=(640, 640),
+                 interval: int = 10, **kw):
+        self.ratio_range = tuple(ratio_range)
+        self.img_scale = tuple(img_scale)
+        self.interval = interval
+
+    def after_train_iter(self, runner, log_vars):
+        if runner.iter % self.interval:
+            return
+        lo, hi = self.ratio_range
+        # deterministic across ranks: derived from the iteration counter
+        rng = np.random.RandomState(runner.iter)
+        r = int(rng.randint(lo, hi + 1))
+        h = 32 * r
+        w = 32 * int(r * self.img_scale[1] / self.img_scale[0])
+        batcher = getattr(runner.loader, "batcher", None)
+        if batcher is not None:
+            batcher.static_hw = (h, w)
 
 
 @HOOKS.register_module()

@@ -262,7 +262,9 @@ class MultiImageMixDataset:
                         else build_dataset(dataset))
         self.pipeline_cfg = pipeline
         self.pipeline = Compose(pipeline)
-        self.skip_type_keys = set(skip_type_keys or [])
+        self.skip_type_keys = set()
+        if skip_type_keys:
+            self.update_skip_type_keys(skip_type_keys)
         self.CLASSES = getattr(self.dataset, "CLASSES", None)
         if hasattr(self.dataset, "flag"):
             self.flag = self.dataset.flag
@@ -270,9 +272,19 @@ class MultiImageMixDataset:
     def __len__(self):
         return len(self.dataset)
 
+    def update_skip_type_keys(self, skip_type_keys):
+        """Skip the named transform types from now on (reference
+        dataset_wrappers.py:382; driven by YOLOXModeSwitchHook)."""
+        from .formatting import Compose
+        self.skip_type_keys = set(skip_type_keys or [])
+        kept = [p for p in (self.pipeline_cfg or [])
+                if dict(p).get("type") not in self.skip_type_keys]
+        self.pipeline = Compose(kept)
+
     def __getitem__(self, idx):
         results = self.dataset[idx]
         needs = any(dict(p).get("type") in ("Mosaic", "MixUp")
+                    and dict(p).get("type") not in self.skip_type_keys
                     for p in (self.pipeline_cfg or []))
         if needs:
             n = 3

@@ -92,6 +92,28 @@ def build_lr_schedule(lr_config: dict, base_lr: float,
             frac = jnp.clip(t / max(total or 1, 1), 0, 1)
             return base_lr * (min_ratio + (1 - min_ratio)
                               * 0.5 * (1 + jnp.cos(jnp.pi * frac)))
+    elif policy == "yolox":
+        # reference core/hook/yolox_lrupdater_hook.py: quadratic warmup
+        # from 0, cosine anneal to min_lr_ratio, FLAT at min_lr for the
+        # final num_last_epochs epochs.
+        min_ratio = float(cfg.get("min_lr_ratio", 0.05))
+        last_ep = int(cfg.get("num_last_epochs", 15))
+        total_ep = int(cfg.get("total_epochs", cfg.get("max_epochs", 300)))
+        total = (total_ep - last_ep) * steps_per_epoch
+        wi = max(warmup_iters, 1)
+
+        def base(t):
+            frac = jnp.clip((t - wi) / max(total - wi, 1), 0, 1)
+            cos = base_lr * (min_ratio + (1 - min_ratio)
+                             * 0.5 * (1 + jnp.cos(jnp.pi * frac)))
+            return jnp.where(t >= total, base_lr * min_ratio, cos)
+
+        def schedule(t):
+            # quadratic warmup from 0 (not the generic linear warmup)
+            wf = jnp.clip(t / wi, 0.0, 1.0) ** 2
+            return jnp.where(t < wi, base_lr * wf, base(t))
+
+        return schedule
     else:
         def base(t):
             return jnp.asarray(base_lr)

@@ -140,6 +140,21 @@ class EpochBasedRunner:
         for h in self.hooks:
             getattr(h, stage)(self, *args)
 
+    def enable_head_l1(self):
+        """YOLOXModeSwitchHook: rebuild the detector + jitted step with
+        the head's extra L1 loss enabled (one extra compile)."""
+        import copy
+        from ..models import build_detector
+        mc = copy.deepcopy(dict(self.cfg.model))
+        if "bbox_head" in mc:
+            mc["bbox_head"] = dict(mc["bbox_head"], use_l1=True)
+        self.det = build_detector(mc, num_views=int(
+            self.cfg.get("num_views", 1) or 1))
+        self.step_fn = make_train_step(self.det, self.tx, mesh=self.mesh,
+                                       donate=False,
+                                       preprocess=self._preprocess)
+        self.test_fn = make_test_step(self.det, mesh=None)
+
     def _first_batch(self):
         for b in self.loader:
             return self._device_batch(b)

@@ -58,15 +58,23 @@ class RetinaHead(nn.Module):
         asn.pop("type", None)
         self.assigner = MaxIoUAssigner(**asn)
         na = self.prior_gen.num_base_anchors[0]
-        self.cls_convs = [Conv(self.feat_channels, 3, 1, 1, dtype=self.dtype,
-                               name=f"cls_conv{i}")
+        # reference retina_head.py init_cfg: every conv Normal(0.01);
+        # retina_cls bias_prob=0.01 (sigmoid starts at p=0.01 — keeps the
+        # focal loss finite/stable in the first steps)
+        from ..layers import bias_prob_init, normal_init
+        ki = normal_init(0.01)
+        self.cls_convs = [Conv(self.feat_channels, 3, 1, 1, kernel_init=ki,
+                               dtype=self.dtype, name=f"cls_conv{i}")
                           for i in range(self.stacked_convs)]
-        self.reg_convs = [Conv(self.feat_channels, 3, 1, 1, dtype=self.dtype,
-                               name=f"reg_conv{i}")
+        self.reg_convs = [Conv(self.feat_channels, 3, 1, 1, kernel_init=ki,
+                               dtype=self.dtype, name=f"reg_conv{i}")
                           for i in range(self.stacked_convs)]
         self.retina_cls = Conv(na * self.num_classes, 3, 1, 1,
+                               kernel_init=ki,
+                               bias_init=bias_prob_init(0.01),
                                dtype=self.dtype)
-        self.retina_reg = Conv(na * 4, 3, 1, 1, dtype=self.dtype)
+        self.retina_reg = Conv(na * 4, 3, 1, 1, kernel_init=ki,
+                               dtype=self.dtype)
 
     def __call__(self, feats):
         cls_scores, bbox_preds = [], []

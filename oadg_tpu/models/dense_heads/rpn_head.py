@@ -32,7 +32,7 @@ from ...core.bbox.assign_sample import MaxIoUAssigner, RandomSampler
 from ...core.post_processing.nms import (batched_nms_padded,
                                          nms_padded)
 from ...utils.registry import HEADS, LOSSES, BBOX_CODERS, build_from_cfg
-from ..layers import Conv
+from ..layers import Conv, normal_init
 
 
 def _build(cfg, registry, **default):
@@ -76,9 +76,15 @@ class RPNHead(nn.Module):
         smp.pop("type", None)
         self.sampler = RandomSampler(**smp)
         na = len(ag.get("ratios", [0.5, 1.0, 2.0])) * len(ag.get("scales", [8]))
-        self.rpn_conv = Conv(self.feat_channels, 3, 1, 1, dtype=self.dtype)
-        self.rpn_cls = Conv(na * self.num_classes, 1, 1, 0, dtype=self.dtype)
-        self.rpn_reg = Conv(na * 4, 1, 1, 0, dtype=self.dtype)
+        # reference rpn_head.py init_cfg: Normal(std=0.01) on every conv —
+        # load-bearing at step 0 (deltas ~ 0 -> proposals ~ anchors)
+        ki = normal_init(0.01)
+        self.rpn_conv = Conv(self.feat_channels, 3, 1, 1, kernel_init=ki,
+                             dtype=self.dtype)
+        self.rpn_cls = Conv(na * self.num_classes, 1, 1, 0, kernel_init=ki,
+                            dtype=self.dtype)
+        self.rpn_reg = Conv(na * 4, 1, 1, 0, kernel_init=ki,
+                            dtype=self.dtype)
 
     def __call__(self, feats: Sequence[jnp.ndarray]):
         cls_scores, bbox_preds = [], []

@@ -113,7 +113,10 @@ class YOLOV3Head(nn.Module):
                                    act="leaky_relu", dtype=self.dtype,
                                    name=f"conv_bridge{i}")
                         for i in range(len(self.in_channels))]
-        self.preds = [Conv(na * self.num_attrib, 1, 1, 0, dtype=self.dtype,
+        from ..layers import normal_init
+        # reference yolo_head.py init_cfg: Normal(std=0.01) on convs_pred
+        self.preds = [Conv(na * self.num_attrib, 1, 1, 0,
+                           kernel_init=normal_init(0.01), dtype=self.dtype,
                            name=f"conv_pred{i}")
                       for i in range(len(self.in_channels))]
 

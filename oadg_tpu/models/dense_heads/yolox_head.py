@@ -58,6 +58,8 @@ class YOLOXHead(nn.Module):
     loss_weight_obj: float = 1.0
     loss_weight_cls: float = 1.0
     loss_weight_bbox: float = 5.0
+    loss_weight_l1: float = 1.0
+    use_l1: bool = False             # flipped on by YOLOXModeSwitchHook
     train_cfg: Any = None
     test_cfg: Any = None
     num_views: int = 1
@@ -129,7 +131,7 @@ class YOLOXHead(nn.Module):
                                for o in objectnesses], 1).astype(jnp.float32)
         boxes = jax.vmap(lambda r: self._decode(r, pts, strides))(reg)
 
-        def one(cls_i, obj_i, boxes_i, gt, gtv, gtl):
+        def one(cls_i, obj_i, reg_i, boxes_i, gt, gtv, gtl):
             ious = bbox_overlaps(boxes_i, gt)                  # (P, G)
             inside = ((pts[:, 0:1] >= gt[None, :, 0])
                       & (pts[:, 0:1] <= gt[None, :, 2])
@@ -167,16 +169,27 @@ class YOLOXHead(nn.Module):
                 jnp.exp(-jnp.abs(cls_i)))).sum(-1)
             # IoU loss at positives
             iou_l = 1.0 - jnp.take_along_axis(ious, matched[:, None], 1) ** 2
+            # L1 on raw deltas (reference yolox_head.py _get_l1_target;
+            # enabled for the last num_last_epochs by YOLOXModeSwitchHook)
+            mgt = gt[matched]
+            t_xy = ((mgt[:, :2] + mgt[:, 2:]) / 2 - pts) / strides[:, None]
+            t_wh = jnp.log(jnp.clip(
+                (mgt[:, 2:] - mgt[:, :2]) / strides[:, None], 1e-8, None))
+            l1 = jnp.sum(jnp.abs(reg_i - jnp.concatenate([t_xy, t_wh], -1)),
+                         axis=-1)
             return (jnp.sum(obj_l), jnp.sum(cls_l * posf),
-                    jnp.sum(iou_l[:, 0] * posf), num_pos)
+                    jnp.sum(iou_l[:, 0] * posf), jnp.sum(l1 * posf), num_pos)
 
-        lo, lc, lb, np_ = jax.vmap(one)(cls, obj, boxes, gt_bboxes, gt_valid,
-                                        gt_labels)
+        lo, lc, lb, ll1, np_ = jax.vmap(one)(cls, obj, reg, boxes, gt_bboxes,
+                                             gt_valid, gt_labels)
         tot = jnp.maximum(jnp.sum(np_), 1.0)
-        return dict(
+        losses = dict(
             loss_obj=self.loss_weight_obj * jnp.sum(lo) / tot,
             loss_cls=self.loss_weight_cls * jnp.sum(lc) / tot,
             loss_bbox=self.loss_weight_bbox * jnp.sum(lb) / tot)
+        if self.use_l1:
+            losses["loss_l1"] = self.loss_weight_l1 * jnp.sum(ll1) / tot
+        return losses
 
     def get_bboxes(self, outs, img_shapes, scale_factors, rescale=True,
                    cfg=None):

@@ -28,6 +28,21 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def normal_init(std: float):
+    """mmcv ``Normal(std=...)`` initializer (reference NormalInit)."""
+    return nn.initializers.normal(stddev=std)
+
+
+def bias_prob_init(prior_prob: float):
+    """mmcv ``bias_prob`` initializer: constant -log((1-p)/p) so a
+    sigmoid-classified head starts predicting probability ``p``
+    (reference mmcv bias_init_with_prob; RetinaNet-family heads use
+    p=0.01 — load-bearing for focal-loss training stability)."""
+    import math
+    b = float(-math.log((1 - prior_prob) / prior_prob))
+    return nn.initializers.constant(b)
+
+
 class Conv(nn.Module):
     """torch-compatible Conv2d on NHWC: explicit symmetric padding."""
     features: int
@@ -36,16 +51,23 @@ class Conv(nn.Module):
     padding: Union[int, Tuple[int, int]] = 0
     dilation: Union[int, Tuple[int, int]] = 1
     use_bias: bool = True
+    kernel_init: Any = None          # None -> flax default (lecun_normal)
+    bias_init: Any = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         k = _pair(self.kernel_size)
         p = _pair(self.padding)
+        kw = {}
+        if self.kernel_init is not None:
+            kw["kernel_init"] = self.kernel_init
+        if self.bias_init is not None:
+            kw["bias_init"] = self.bias_init
         return nn.Conv(self.features, k, strides=_pair(self.stride),
                        padding=[(p[0], p[0]), (p[1], p[1])],
                        kernel_dilation=_pair(self.dilation),
-                       use_bias=self.use_bias, dtype=self.dtype)(x)
+                       use_bias=self.use_bias, dtype=self.dtype, **kw)(x)
 
 
 class FrozenBN(nn.Module):

@@ -70,12 +70,19 @@ class Shared2FCBBoxHead(nn.Module):
                        norm_cfg=self.norm_cfg, dtype=self.dtype,
                        name=f"shared_conv{i}")
             for i in range(self.num_shared_convs)]
+        from ..layers import normal_init
+        xavier = nn.initializers.xavier_uniform()
         self.shared_fcs = [nn.Dense(self.fc_out_channels, dtype=self.dtype,
+                                    kernel_init=xavier,
                                     name=f"shared_fc{i}")
                            for i in range(self.num_shared_fcs)]
-        self.fc_cls = nn.Dense(self.num_classes + 1, dtype=self.dtype)
+        # reference convfc_bbox_head.py init_cfg: cls Normal(0.01),
+        # reg Normal(0.001), fcs Xavier
+        self.fc_cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                               kernel_init=normal_init(0.01))
         reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
-        self.fc_reg = nn.Dense(reg_dim, dtype=self.dtype)
+        self.fc_reg = nn.Dense(reg_dim, dtype=self.dtype,
+                               kernel_init=normal_init(0.001))
         if self.with_cont:
             cfg = dict(self.cont_predictor_cfg or dict(num_linear=2,
                                                        feat_channels=256))

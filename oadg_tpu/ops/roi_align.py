@@ -328,6 +328,80 @@ def _ml_fwd(feats, rois, output_size, featmap_strides, sampling_ratio,
     return out, (rois, feats)
 
 
+_WIN = 16      # per-axis corner-window slots (power of 2, >= out*sr + 2)
+
+
+def _ml_window_geometry(rois, output_size, featmap_strides, finest_scale,
+                        sampling_ratio, hs, ws, level_off):
+    """Factorized backward geometry: per roi and axis, every bilinear
+    corner of the out*sr sample grid lands in a window of ``_WIN``
+    consecutive pixels whenever the sample spacing is <= 1 px — which the
+    FPN area-based level mapping guarantees except for extreme aspect
+    ratios (a roi with sqrt(wh) in a level's band can still be wide). The
+    bilinear splat then factorizes exactly as
+        d_window[sy, sx, c] = sum_oy sum_ox Wy[sy, oy] g[oy, ox, c] Wx[sx, ox]
+    i.e. two small matmuls per roi on the MXU, and the scatter shrinks
+    from 4*(out*sr)^2 = 784 rows/roi to _WIN^2 = 256.
+
+    Returns (Wy, Wx, base_rows, row_step, compact):
+        Wy/Wx: (R, _WIN, out) f32 slot weights (already / (sr*sr) on Wx);
+        base_rows: (R,) int32 flat table row of window origin;
+        row_step: (R,) int32 stride between consecutive sy slots (level W);
+        compact: (R,) bool — window representation is exact for this roi.
+    """
+    out = output_size
+    sr = max(int(sampling_ratio), 1)
+    num_levels = len(featmap_strides)
+    scales = np.array([1.0 / s for s in featmap_strides], np.float32)
+    lvl = map_roi_levels(rois, num_levels, finest_scale)
+    sc = jnp.asarray(scales)[lvl]
+    fh = jnp.asarray(hs)[lvl].astype(jnp.float32)
+    fw = jnp.asarray(ws)[lvl].astype(jnp.float32)
+    off = jnp.asarray(level_off)[lvl].astype(jnp.int32)
+    fhi = fh.astype(jnp.int32)
+    fwi = fw.astype(jnp.int32)
+    bidx = rois[:, 0].astype(jnp.int32)
+
+    x1 = rois[:, 1] * sc - 0.5
+    y1 = rois[:, 2] * sc - 0.5
+    x2 = rois[:, 3] * sc - 0.5
+    y2 = rois[:, 4] * sc - 0.5
+    bin_w = (x2 - x1) / out
+    bin_h = (y2 - y1) / out
+    frac = (jnp.arange(sr, dtype=jnp.float32) + 0.5) / sr
+    pos = (jnp.arange(out, dtype=jnp.float32)[:, None] + frac[None, :]
+           ).reshape(-1)                                    # (out*sr,)
+
+    def axis(start, binsz, f, fi):
+        xs = start[:, None] + pos[None, :] * binsz[:, None]  # (R, out*sr)
+        okx = (xs > -1.0) & (xs < f[:, None])
+        px = jnp.clip(xs, 0.0, f[:, None] - 1)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        fx = px - x0
+        x1c = jnp.minimum(x0 + 1, fi[:, None] - 1)
+        base = jnp.min(x0, axis=1)
+        s0 = x0 - base[:, None]
+        s1 = x1c - base[:, None]
+        compact = jnp.max(s1, axis=1) < _WIN
+        s0c = jnp.clip(s0, 0, _WIN - 1)
+        s1c = jnp.clip(s1, 0, _WIN - 1)
+        okf = okx.astype(jnp.float32)
+        # W[slot, oy]: one-hot splat of the two corners of each sample,
+        # folded over the sr samples per bin.
+        oh0 = jax.nn.one_hot(s0c, _WIN, dtype=jnp.float32)   # (R, os, W)
+        oh1 = jax.nn.one_hot(s1c, _WIN, dtype=jnp.float32)
+        w = (oh0 * ((1 - fx) * okf)[..., None]
+             + oh1 * (fx * okf)[..., None])                  # (R, os, W)
+        w = w.reshape(w.shape[0], out, sr, _WIN).sum(axis=2)  # (R, out, W)
+        return jnp.swapaxes(w, 1, 2), base, compact           # (R, W, out)
+
+    Wy, base_y, cy = axis(y1, bin_h, fh, fhi)
+    Wx, base_x, cx = axis(x1, bin_w, fw, fwi)
+    compact = cy & cx
+    base_rows = off + (bidx * fhi + base_y) * fwi + base_x
+    return Wy, Wx / float(sr * sr), base_rows, fwi, compact
+
+
 def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
             chunk, residuals, g):
     rois, feats = residuals
@@ -340,34 +414,76 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
     ws = np.array([sh[0][2] for sh in shapes])
     level_off = np.concatenate([[0], np.cumsum(b * hs * ws)[:-1]])
     n_rows = int(np.sum(b * hs * ws))
-    taps = _ml_tap_geometry(rois, out, featmap_strides, finest_scale,
-                            sampling_ratio, hs, ws, level_off, b)
-    # Scatter dtype = the model's compute dtype. With bf16 features (the
-    # flagship runs bf16 end to end, and the downstream heads' gradients
-    # are bf16-quantized anyway) the scatter-add moves half the bytes —
-    # it is bandwidth-limited (~10 GB/step at flagship batch 4, the
-    # second-largest op in the step after convolutions). Accumulation
-    # depth is shallow (~2.5 contributions/row on average). Set
-    # OADG_ROI_BWD_F32=1 to force f32 accumulation (e.g. for strict
-    # gradient-parity checks against autodiff).
+    r = rois.shape[0]
+
+    # Table dtype: bf16 when the model runs bf16 (halves the
+    # bandwidth-limited scatter RMW). The deep intra-roi accumulation the
+    # old tap scatter did in bf16 (ADVICE r2: tiny rois stack out*sr*sr
+    # adds per cell) now happens EXACTLY in the f32 matmuls below — only
+    # cross-roi overlap still adds in bf16 (shallow). OADG_ROI_BWD_F32=1
+    # forces a f32 table for strict autodiff-parity checks.
     import os as _os
     all_bf16 = all(dt == jnp.bfloat16 for _, dt in shapes)
     acc_dt = (jnp.bfloat16 if all_bf16
               and _os.environ.get("OADG_ROI_BWD_F32", "0") != "1"
               else jnp.float32)
-    # per-sample-point upstream grad: mean over the sr x sr samples
-    gpt = (g.astype(jnp.float32) / (sr * sr)).astype(acc_dt)
-    gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
-    gpt = gpt.reshape(rois.shape[0], out * sr, out * sr, c)
-    # ONE scatter-add over all 4 taps: four separate .at[].add calls compile
-    # to four sequential full passes over the (n_rows, C) buffer
-    # (~9 ms each at flagship shapes — read+write of a ~700 MB table per
-    # tap); concatenating rows/updates makes the buffer traffic one pass.
-    rows_all = jnp.concatenate([rows_i.reshape(-1) for rows_i, _ in taps])
-    upds_all = jnp.concatenate(
-        [(gpt * w[..., None].astype(acc_dt)).reshape(-1, c) for _, w in taps])
-    d_table = jnp.zeros((n_rows, c), acc_dt).at[rows_all].add(
-        upds_all, mode="drop")
+
+    g32 = g.astype(jnp.float32)
+    use_window = _os.environ.get("OADG_ROI_BWD_WINDOW", "0") == "1"
+    if use_window:
+        # Factorized window path: 3x less scatter RMW for rois whose
+        # per-axis corner span fits _WIN slots, exact tap fallback (under
+        # lax.cond) for the rest. Pays off when most rois are compact
+        # (trained RPN: proposals anchor-like); measured on the bench's
+        # random-init RPN only ~51% are, making this a NET LOSS there —
+        # hence opt-in. See STATUS round-3 perf notes.
+        Wy, Wx, base_rows, row_step, compact = _ml_window_geometry(
+            rois, out, featmap_strides, finest_scale, sampling_ratio,
+            hs, ws, level_off)
+        cmask = compact.astype(jnp.float32)
+        # d_window[r,sy,sx,c] = Wy[r] @ g[r] @ Wx[r]^T — MXU batched, f32.
+        t1 = jnp.einsum("rso,roxc->rsxc", Wy * cmask[:, None, None], g32)
+        win = jnp.einsum("rtx,rsxc->rstc", Wx, t1)           # (R, W, W, C)
+        sy = jnp.arange(_WIN, dtype=jnp.int32)
+        rows = (base_rows[:, None, None]
+                + sy[None, :, None] * row_step[:, None, None]
+                + sy[None, None, :])                         # (R, W, W)
+        d_table = jnp.zeros((n_rows, c), acc_dt).at[rows.reshape(-1)].add(
+            win.astype(acc_dt).reshape(-1, c), mode="drop")
+
+        def with_violators(tbl):
+            taps = _ml_tap_geometry(rois, out, featmap_strides,
+                                    finest_scale, sampling_ratio, hs, ws,
+                                    level_off, b)
+            viol = (~compact).astype(jnp.float32)
+            gpt = g32 / (sr * sr)
+            gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
+            gpt = gpt.reshape(r, out * sr, out * sr, c)
+            rows_all = jnp.concatenate(
+                [rows_i.reshape(-1) for rows_i, _ in taps])
+            upds_all = jnp.concatenate(
+                [(gpt * (w * viol[:, None, None])[..., None]).reshape(-1, c)
+                 for _, w in taps]).astype(acc_dt)
+            return tbl.at[rows_all].add(upds_all, mode="drop")
+
+        d_table = jax.lax.cond(jnp.any(~compact), with_violators,
+                               lambda tbl: tbl, d_table)
+    else:
+        taps = _ml_tap_geometry(rois, out, featmap_strides, finest_scale,
+                                sampling_ratio, hs, ws, level_off, b)
+        # per-sample-point upstream grad: mean over the sr x sr samples;
+        # ONE combined scatter over all 4 bilinear taps (four .at[].add
+        # calls would make four full passes over the ~700 MB table).
+        gpt = (g32 / (sr * sr)).astype(acc_dt)
+        gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
+        gpt = gpt.reshape(r, out * sr, out * sr, c)
+        rows_all = jnp.concatenate(
+            [rows_i.reshape(-1) for rows_i, _ in taps])
+        upds_all = jnp.concatenate(
+            [(gpt * w[..., None].astype(acc_dt)).reshape(-1, c)
+             for _, w in taps])
+        d_table = jnp.zeros((n_rows, c), acc_dt).at[rows_all].add(
+            upds_all, mode="drop")
     d_feats = []
     start = 0
     for (shape, dt) in shapes:
