@@ -73,7 +73,10 @@ def main():
     tx = build_optimizer(params, cfg.optimizer, sched, model_cfg=model)
     opt_state = tx.init(params)
 
-    step = make_train_step(det, tx, mesh=None, donate=False,
+    # donate=True matches real training (the runner reassigns params/
+    # opt_state every step) and is what lets batch 8 fit in HBM.
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    step = make_train_step(det, tx, mesh=None, donate=donate,
                            preprocess=preprocess)
     print("bench: params initialized, compiling step...", file=sys.stderr, flush=True)
 

@@ -309,15 +309,70 @@ def _ml_tap_geometry(rois, output_size, featmap_strides, finest_scale,
             (rows(y1i, x1i), okf * wy * wx))
 
 
+def _roi_align_forward(feats, rois, output_size, featmap_strides,
+                       sampling_ratio, finest_scale, chunk):
+    """Forward dispatch: pallas window kernel on TPU (exact same bilinear
+    sum as the gather impl, reassociated; ~5x less HBM traffic), chunked
+    pair-table gather elsewhere. ok=0 rois (extreme-aspect windows,
+    sub-window levels) come from a bounded exact gather pass."""
+    import os as _os
+    mode = _os.environ.get("OADG_ROI_FWD", "auto")
+    platform = jax.devices()[0].platform
+    shapes = [(f.shape, f.dtype) for f in feats]
+    grids_fit = all(sh[0][1] >= _WIN_Y and sh[0][2] >= _WIN_X
+                    for sh in shapes)
+    use_pallas = (mode == "pallas"
+                  or (mode == "auto" and platform == "tpu" and grids_fit))
+    if not use_pallas:
+        return _roi_align_multilevel_impl(
+            feats, rois, output_size=output_size,
+            featmap_strides=tuple(featmap_strides),
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            chunk=chunk)
+
+    from .pallas_roi_bwd import roi_fwd_window_pallas
+    out = output_size
+    b = shapes[0][0][0]
+    hs = np.array([sh[0][1] for sh in shapes])
+    ws = np.array([sh[0][2] for sh in shapes])
+    level_off = np.concatenate([[0], np.cumsum(b * hs * ws)[:-1]])
+    Wy, Wx, meta, compact, fit_levels = _window_meta(
+        rois, out, featmap_strides, finest_scale, sampling_ratio,
+        hs, ws, level_off, shapes)
+    res = roi_fwd_window_pallas([feats[i] for i in fit_levels], meta,
+                                Wy, Wx, out,
+                                interpret=(platform != "tpu"))
+    res = res.astype(jnp.float32)
+
+    # exact gather pass for the leftovers (bounded, looped)
+    r = rois.shape[0]
+    V = min(256, r)
+
+    def body(state):
+        acc, mask = state
+        _, idx = jax.lax.top_k(mask.astype(jnp.float32), V)
+        sel = mask[idx]
+        sub = _roi_align_multilevel_impl(
+            feats, rois[idx], output_size=out,
+            featmap_strides=tuple(featmap_strides),
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
+            chunk=min(chunk, V))
+        acc = acc.at[idx].set(jnp.where(sel[:, None, None, None], sub,
+                                        acc[idx]))
+        return acc, mask & ~jnp.zeros_like(mask).at[idx].set(sel)
+
+    res, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), body,
+                                (res, ~compact))
+    return res
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _roi_align_multilevel_vjp(feats, rois, output_size,
                               featmap_strides, sampling_ratio,
                               finest_scale, chunk):
-    return _roi_align_multilevel_impl(
-        feats, rois, output_size=output_size,
-        featmap_strides=tuple(featmap_strides),
-        sampling_ratio=sampling_ratio, finest_scale=finest_scale,
-        chunk=chunk)
+    return _roi_align_forward(
+        feats, rois, output_size, tuple(featmap_strides),
+        sampling_ratio, finest_scale, chunk)
 
 
 def _ml_fwd(feats, rois, output_size, featmap_strides, sampling_ratio,
@@ -328,26 +383,33 @@ def _ml_fwd(feats, rois, output_size, featmap_strides, sampling_ratio,
     return out, (rois, feats)
 
 
-_WIN = 16      # per-axis corner-window slots (power of 2, >= out*sr + 2)
+_WIN = 32       # span criterion per axis (corner span must be < _WIN)
+_WIN_Y = 32     # kernel window rows   (free DMA offset)
+_WIN_X = 40     # kernel window cols: x offsets align down to 8 (sublane
+                # tiling), widening the window by the alignment slack
 
 
 def _ml_window_geometry(rois, output_size, featmap_strides, finest_scale,
-                        sampling_ratio, hs, ws, level_off):
+                        sampling_ratio, hs, ws, level_off,
+                        clamp_to_grid: bool = False,
+                        win_y: int = None, win_x: int = None):
     """Factorized backward geometry: per roi and axis, every bilinear
     corner of the out*sr sample grid lands in a window of ``_WIN``
-    consecutive pixels whenever the sample spacing is <= 1 px — which the
-    FPN area-based level mapping guarantees except for extreme aspect
-    ratios (a roi with sqrt(wh) in a level's band can still be wide). The
-    bilinear splat then factorizes exactly as
-        d_window[sy, sx, c] = sum_oy sum_ox Wy[sy, oy] g[oy, ox, c] Wx[sx, ox]
-    i.e. two small matmuls per roi on the MXU, and the scatter shrinks
-    from 4*(out*sr)^2 = 784 rows/roi to _WIN^2 = 256.
+    consecutive pixels whenever the per-axis corner span is < _WIN — true
+    for ~96%+ of proposals under the FPN area mapping (extreme-aspect
+    boxes are the exception; callers route those through a bounded tap
+    pass). The bilinear splat then factorizes exactly as
+        d_window[sy, sx, c] = sum_oy sum_ox Wy[sy, oy] g[oy, ox, c] Wx[sx, ox].
 
-    Returns (Wy, Wx, base_rows, row_step, compact):
-        Wy/Wx: (R, _WIN, out) f32 slot weights (already / (sr*sr) on Wx);
-        base_rows: (R,) int32 flat table row of window origin;
-        row_step: (R,) int32 stride between consecutive sy slots (level W);
-        compact: (R,) bool — window representation is exact for this roi.
+    ``clamp_to_grid``: shift window bases so the full _WIN x _WIN window
+    stays inside the level extent (needs H_l, W_l >= _WIN) — required by
+    the pallas DMA path; slot indices stay exact because the span bound
+    still holds after the shift.
+
+    Returns (Wy, Wx, level, bidx, base_y, base_x, base_rows, row_step,
+    compact): Wy/Wx (R, _WIN, out) f32 slot weights (the /(sr*sr) mean
+    folded into Wx); base_rows/row_step address the flat table; compact
+    (R,) bool marks rois the window represents exactly.
     """
     out = output_size
     sr = max(int(sampling_ratio), 1)
@@ -372,7 +434,7 @@ def _ml_window_geometry(rois, output_size, featmap_strides, finest_scale,
     pos = (jnp.arange(out, dtype=jnp.float32)[:, None] + frac[None, :]
            ).reshape(-1)                                    # (out*sr,)
 
-    def axis(start, binsz, f, fi):
+    def axis(start, binsz, f, fi, win, align=1):
         xs = start[:, None] + pos[None, :] * binsz[:, None]  # (R, out*sr)
         okx = (xs > -1.0) & (xs < f[:, None])
         px = jnp.clip(xs, 0.0, f[:, None] - 1)
@@ -380,26 +442,74 @@ def _ml_window_geometry(rois, output_size, featmap_strides, finest_scale,
         fx = px - x0
         x1c = jnp.minimum(x0 + 1, fi[:, None] - 1)
         base = jnp.min(x0, axis=1)
+        if clamp_to_grid:
+            base = (base // align) * align
+            base = jnp.clip(base, 0,
+                            jnp.maximum((fi - win) // align * align, 0))
         s0 = x0 - base[:, None]
         s1 = x1c - base[:, None]
-        compact = jnp.max(s1, axis=1) < _WIN
-        s0c = jnp.clip(s0, 0, _WIN - 1)
-        s1c = jnp.clip(s1, 0, _WIN - 1)
+        compact = (jnp.max(s1, axis=1) < win) & (jnp.min(s0, axis=1) >= 0)
+        s0c = jnp.clip(s0, 0, win - 1)
+        s1c = jnp.clip(s1, 0, win - 1)
         okf = okx.astype(jnp.float32)
         # W[slot, oy]: one-hot splat of the two corners of each sample,
         # folded over the sr samples per bin.
-        oh0 = jax.nn.one_hot(s0c, _WIN, dtype=jnp.float32)   # (R, os, W)
-        oh1 = jax.nn.one_hot(s1c, _WIN, dtype=jnp.float32)
+        oh0 = jax.nn.one_hot(s0c, win, dtype=jnp.float32)    # (R, os, W)
+        oh1 = jax.nn.one_hot(s1c, win, dtype=jnp.float32)
         w = (oh0 * ((1 - fx) * okf)[..., None]
              + oh1 * (fx * okf)[..., None])                  # (R, os, W)
-        w = w.reshape(w.shape[0], out, sr, _WIN).sum(axis=2)  # (R, out, W)
+        w = w.reshape(w.shape[0], out, sr, win).sum(axis=2)   # (R, out, W)
         return jnp.swapaxes(w, 1, 2), base, compact           # (R, W, out)
 
-    Wy, base_y, cy = axis(y1, bin_h, fh, fhi)
-    Wx, base_x, cx = axis(x1, bin_w, fw, fwi)
+    wy_n = win_y or (_WIN_Y if clamp_to_grid else _WIN)
+    wx_n = win_x or (_WIN_X if clamp_to_grid else _WIN)
+    Wy, base_y, cy = axis(y1, bin_h, fh, fhi, wy_n)
+    Wx, base_x, cx = axis(x1, bin_w, fw, fwi, wx_n,
+                          align=8 if clamp_to_grid else 1)
     compact = cy & cx
     base_rows = off + (bidx * fhi + base_y) * fwi + base_x
-    return Wy, Wx / float(sr * sr), base_rows, fwi, compact
+    return (Wy, Wx / float(sr * sr), lvl, bidx, base_y, base_x,
+            base_rows, fwi, compact)
+
+
+def _window_meta(rois, out, featmap_strides, finest_scale, sampling_ratio,
+                 hs, ws, level_off, shapes):
+    """Two-class window geometry for the pallas kernels: small (16, 24)
+    where it covers the roi (≈65% of proposals — 2.5x less DMA), full
+    (32, 40) otherwise; rois fitting neither (extreme aspect) or mapped
+    to sub-window levels get ok=0 and take the exact fallback. Returns
+    (Wy (R,32,out), Wx (R,40,out), meta6, compact)."""
+    from .pallas_roi_bwd import WIN_X_S, WIN_Y_S
+    gA = _ml_window_geometry(rois, out, featmap_strides, finest_scale,
+                             sampling_ratio, hs, ws, level_off,
+                             clamp_to_grid=True, win_y=WIN_Y_S,
+                             win_x=WIN_X_S)
+    gB = _ml_window_geometry(rois, out, featmap_strides, finest_scale,
+                             sampling_ratio, hs, ws, level_off,
+                             clamp_to_grid=True)
+    WyA, WxA, lvl, bidx, byA, bxA, _, _, cA = gA
+    WyB, WxB, _, _, byB, bxB, _, _, cB = gB
+    fit_levels = [i for i, sh in enumerate(shapes)
+                  if sh[0][1] >= _WIN_Y and sh[0][2] >= _WIN_X]
+    lvl_remap = np.zeros(len(shapes), np.int32)
+    for j, i in enumerate(fit_levels):
+        lvl_remap[i] = j
+    fits = jnp.asarray([sh[0][1] >= _WIN_Y and sh[0][2] >= _WIN_X
+                        for sh in shapes])[lvl]
+    small = cA & fits
+    compact = (cA | cB) & fits
+    pady = _WIN_Y - WIN_Y_S
+    padx = _WIN_X - WIN_X_S
+    Wy = jnp.where(small[:, None, None],
+                   jnp.pad(WyA, ((0, 0), (0, pady), (0, 0))), WyB)
+    Wx = jnp.where(small[:, None, None],
+                   jnp.pad(WxA, ((0, 0), (0, padx), (0, 0))), WxB)
+    base_y = jnp.where(small, byA, byB)
+    base_x = jnp.where(small, bxA, bxB)
+    meta = (jnp.asarray(lvl_remap)[lvl].astype(jnp.int32), bidx,
+            base_y, base_x, compact.astype(jnp.int32),
+            (~small).astype(jnp.int32))
+    return Wy, Wx, meta, compact, fit_levels
 
 
 def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
@@ -429,61 +539,77 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
               else jnp.float32)
 
     g32 = g.astype(jnp.float32)
-    use_window = _os.environ.get("OADG_ROI_BWD_WINDOW", "0") == "1"
-    if use_window:
-        # Factorized window path: 3x less scatter RMW for rois whose
-        # per-axis corner span fits _WIN slots, exact tap fallback (under
-        # lax.cond) for the rest. Pays off when most rois are compact
-        # (trained RPN: proposals anchor-like); measured on the bench's
-        # random-init RPN only ~51% are, making this a NET LOSS there —
-        # hence opt-in. See STATUS round-3 perf notes.
-        Wy, Wx, base_rows, row_step, compact = _ml_window_geometry(
-            rois, out, featmap_strides, finest_scale, sampling_ratio,
-            hs, ws, level_off)
-        cmask = compact.astype(jnp.float32)
-        # d_window[r,sy,sx,c] = Wy[r] @ g[r] @ Wx[r]^T — MXU batched, f32.
-        t1 = jnp.einsum("rso,roxc->rsxc", Wy * cmask[:, None, None], g32)
-        win = jnp.einsum("rtx,rsxc->rstc", Wx, t1)           # (R, W, W, C)
-        sy = jnp.arange(_WIN, dtype=jnp.int32)
-        rows = (base_rows[:, None, None]
-                + sy[None, :, None] * row_step[:, None, None]
-                + sy[None, None, :])                         # (R, W, W)
-        d_table = jnp.zeros((n_rows, c), acc_dt).at[rows.reshape(-1)].add(
-            win.astype(acc_dt).reshape(-1, c), mode="drop")
 
-        def with_violators(tbl):
-            taps = _ml_tap_geometry(rois, out, featmap_strides,
-                                    finest_scale, sampling_ratio, hs, ws,
-                                    level_off, b)
-            viol = (~compact).astype(jnp.float32)
-            gpt = g32 / (sr * sr)
-            gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
-            gpt = gpt.reshape(r, out * sr, out * sr, c)
-            rows_all = jnp.concatenate(
-                [rows_i.reshape(-1) for rows_i, _ in taps])
-            upds_all = jnp.concatenate(
-                [(gpt * (w * viol[:, None, None])[..., None]).reshape(-1, c)
-                 for _, w in taps]).astype(acc_dt)
-            return tbl.at[rows_all].add(upds_all, mode="drop")
-
-        d_table = jax.lax.cond(jnp.any(~compact), with_violators,
-                               lambda tbl: tbl, d_table)
-    else:
-        taps = _ml_tap_geometry(rois, out, featmap_strides, finest_scale,
-                                sampling_ratio, hs, ws, level_off, b)
-        # per-sample-point upstream grad: mean over the sr x sr samples;
-        # ONE combined scatter over all 4 bilinear taps (four .at[].add
-        # calls would make four full passes over the ~700 MB table).
-        gpt = (g32 / (sr * sr)).astype(acc_dt)
+    def tap_scatter_masked(tbl, sub_rois, sub_g, mask):
+        """Exact per-tap scatter for a (possibly gathered) roi subset,
+        weights zeroed where ``mask`` is False."""
+        taps = _ml_tap_geometry(sub_rois, out, featmap_strides,
+                                finest_scale, sampling_ratio, hs, ws,
+                                level_off, b)
+        mf = mask.astype(jnp.float32)
+        gpt = sub_g.astype(jnp.float32) / (sr * sr)
         gpt = jnp.repeat(jnp.repeat(gpt, sr, axis=1), sr, axis=2)
-        gpt = gpt.reshape(r, out * sr, out * sr, c)
-        rows_all = jnp.concatenate(
-            [rows_i.reshape(-1) for rows_i, _ in taps])
+        gpt = gpt.reshape(sub_rois.shape[0], out * sr, out * sr, c)
+        rows_all = jnp.concatenate([ri.reshape(-1) for ri, _ in taps])
         upds_all = jnp.concatenate(
-            [(gpt * w[..., None].astype(acc_dt)).reshape(-1, c)
-             for _, w in taps])
-        d_table = jnp.zeros((n_rows, c), acc_dt).at[rows_all].add(
-            upds_all, mode="drop")
+            [(gpt * (w * mf[:, None, None])[..., None]).reshape(-1, c)
+             for _, w in taps]).astype(tbl.dtype)
+        return tbl.at[rows_all].add(upds_all, mode="drop")
+
+    mode = _os.environ.get("OADG_ROI_BWD", "auto")
+    platform = jax.devices()[0].platform
+    grids_fit = all(sh[0][1] >= _WIN_Y and sh[0][2] >= _WIN_X
+                    for sh in shapes)
+    use_pallas = (mode == "pallas"
+                  or (mode == "auto" and platform == "tpu" and grids_fit))
+
+    if use_pallas:
+        # Per-roi window RMW kernel (ops/pallas_roi_bwd.py): no update
+        # buffer, no scatter serialization. Violators (corner span >=
+        # _WIN on some axis, ~3.5% of bench proposals) accumulate first
+        # through bounded exact tap passes on the flat table.
+        from .pallas_roi_bwd import roi_bwd_window_pallas
+        # two-class window geometry (levels smaller than the DMA window
+        # route their rois through the exact tap pass — a too-large DMA
+        # slice is a trace-time error even when predicated off)
+        Wy, Wx, meta, compact, fit_levels = _window_meta(
+            rois, out, featmap_strides, finest_scale, sampling_ratio,
+            hs, ws, level_off, shapes)
+        d_table = jnp.zeros((n_rows, c), acc_dt)
+        viol = ~compact
+        V = min(512, r)
+
+        def any_viol_body(state):
+            tbl, mask = state
+            score = mask.astype(jnp.float32)
+            _, idx = jax.lax.top_k(score, V)
+            sel = mask[idx]
+            tbl = tap_scatter_masked(tbl, rois[idx], g32[idx], sel)
+            return tbl, mask & ~jnp.zeros_like(mask).at[idx].set(sel)
+
+        d_table, _ = jax.lax.while_loop(
+            lambda s: jnp.any(s[1]), any_viol_body, (d_table, viol))
+        d_feats = []
+        start = 0
+        for (shape, dt) in shapes:
+            cnt = int(np.prod(shape[:3]))
+            d_feats.append(d_table[start:start + cnt].reshape(shape))
+            start += cnt
+        if fit_levels:
+            sub = roi_bwd_window_pallas(
+                [d_feats[i] for i in fit_levels], meta, g.astype(acc_dt),
+                Wy, Wx, out, interpret=(platform != "tpu"))
+            for j, i in enumerate(fit_levels):
+                d_feats[i] = sub[j]
+        return ([f.astype(dt) for f, (_, dt) in zip(d_feats, shapes)],
+                jnp.zeros_like(rois))
+
+    # XLA fallback: one combined per-tap scatter (four .at[].add calls
+    # would make four full passes over the ~700 MB table). The update
+    # buffer this materializes is the train step's largest HBM temp —
+    # the pallas path above replaces it on TPU.
+    d_table = tap_scatter_masked(jnp.zeros((n_rows, c), acc_dt), rois, g32,
+                                 jnp.ones((r,), bool))
     d_feats = []
     start = 0
     for (shape, dt) in shapes:
