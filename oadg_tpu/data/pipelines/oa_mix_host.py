@@ -27,6 +27,17 @@ def _sample_level(n):
     return np.random.uniform(low=0.1, high=n)
 
 
+def _hard_mask(box, shape):
+    """Unblurred box mask (reference oa_mix.py _get_mask without
+    spatial/sigma ratios — what get_random_regions uses by default:
+    multilevel and oa-random region masks are HARD; only fg masks blur)."""
+    h, w = shape[:2]
+    x1, y1, x2, y2 = np.asarray(box, np.int32)
+    m = np.zeros((h, w, 3), np.float32)
+    m[y1:y2, x1:x2, :] = 1.0
+    return m
+
+
 def _blurred_mask(box, shape, spatial_ratio=4, sigma_ratio=0.3):
     """Quarter-res blurred box mask (reference oa_mix.py:74-93)."""
     h, w = shape[:2]
@@ -143,14 +154,26 @@ def _geo_matrix(name, severity, center, size_for_level, img_size):
     return np.float32([[1, 0, 0], [0, 1, -t]])
 
 
+def _pick_family(name):
+    """Draw the x/y coin ONLY for the xy families — an eager dict literal
+    here consumed np.random draws for the unselected families too,
+    desynchronizing the RNG stream from the reference (caught by the
+    golden parity test)."""
+    if name == "rotate":
+        return "rotate"
+    if name == "shear_xy":
+        return "shear_x" if np.random.rand() < 0.5 else "shear_y"
+    return "translate_x" if np.random.rand() < 0.5 else "translate_y"
+
+
 def _bboxes_only(img, name, severity, fg_boxes, fg_masks):
-    """Per-box warp blended by blurred masks (bbox_augmentation.py:31-88)."""
-    out = np.asarray(img, np.float32)
+    """Per-box warp blended by blurred masks (bbox_augmentation.py:31-88).
+    The blend requantizes to uint8 after EVERY box like the reference
+    (each _apply_bbox_only_augmentation call returns uint8) — float
+    accumulation here drifted the composed golden test by +-1 per box."""
+    out = np.asarray(img, np.uint8)
     h, w = out.shape[:2]
-    fam = {"rotate": "rotate",
-           "shear_xy": "shear_x" if np.random.rand() < 0.5 else "shear_y",
-           "translate_xy": ("translate_x" if np.random.rand() < 0.5
-                            else "translate_y")}[name]
+    fam = _pick_family(name)
     for box, mask in zip(fg_boxes, fg_masks):
         x1, y1, x2, y2 = [int(v) for v in box]
         if x2 - x1 < 1 or y2 - y1 < 1:
@@ -158,19 +181,16 @@ def _bboxes_only(img, name, severity, fg_boxes, fg_masks):
         center = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
         m = _geo_matrix(fam, severity, center, (x2 - x1 + 1, y2 - y1 + 1),
                         (w, h))
-        warped = cv2.warpAffine(out.astype(np.uint8), m, (w, h)).astype(np.float32)
-        out = out * (1.0 - mask) + warped * mask
-    return np.asarray(np.clip(out, 0, 255), np.uint8)
+        warped = cv2.warpAffine(out, m, (w, h))
+        out = np.asarray(out * (1.0 - mask) + warped * mask, np.uint8)
+    return out
 
 
 def _bg_only(img, name, severity, fg_masks):
     """Global warp with fg regions preserved (bbox_augmentation.py:240-272)."""
     arr = np.asarray(img, np.uint8)
     h, w = arr.shape[:2]
-    fam = {"rotate": "rotate",
-           "shear_xy": "shear_x" if np.random.rand() < 0.5 else "shear_y",
-           "translate_xy": ("translate_x" if np.random.rand() < 0.5
-                            else "translate_y")}[name]
+    fam = _pick_family(name)
     center = (w / 2.0, h / 2.0) if fam == "rotate" else None
     m = _geo_matrix(fam, severity, center, (w, h), (w, h))
     mask = (np.max(fg_masks, axis=0) if len(fg_masks)
@@ -222,8 +242,9 @@ def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
                                  cfg.get("random_box_scale", (0.01, 0.1)),
                                  cfg.get("random_box_ratio", (3, 1 / 3)),
                                  num_bboxes=(1, 3))
-    rand_masks = [_blurred_mask(b, img.shape, spatial_ratio, sigma_ratio)
-                  for b in rand_boxes]
+    # multilevel region masks are HARD (reference oamix() calls
+    # get_random_regions without use_blur)
+    rand_masks = [_hard_mask(b, img.shape) for b in rand_boxes]
     history["random_box_list"] = (np.stack(rand_boxes)
                                   if rand_boxes else np.zeros((0, 4)))
 
@@ -276,16 +297,26 @@ def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
         for gb, gs in zip(gt_bboxes, fg_scores):
             if _iou_any(b, [gb]) > 1e-6 and gs < score:
                 score = gs
-        oa_targets.append((b, _blurred_mask(b, img.shape, spatial_ratio,
-                                            sigma_ratio), score))
+        # oa random-box masks are HARD too (get_random_regions default)
+        oa_targets.append((b, _hard_mask(b, img.shape), score))
 
-    # sequential overlap-corrected accumulation (oa_mix.py:281-308)
+    return np.asarray(object_aware_mixing(
+        img.astype(np.float32), img_oamix,
+        [m for _, m, _ in oa_targets], [s for _, _, s in oa_targets],
+        score_thresh), np.uint8)
+
+
+def object_aware_mixing(img, img_aug, mask_list, score_list,
+                        score_thresh: float = 10.0):
+    """Sequential overlap-corrected accumulation (reference
+    oa_mix.py:281-308 object_aware_mixing) — standalone so the golden
+    parity test can drive it with pinned masks/scores."""
     m_global = np.float32(np.random.beta(1.0, 1.0))
     orig = np.zeros_like(img, np.float32)
     aug = np.zeros_like(img, np.float32)
     mask_sum = np.zeros_like(img, np.float32)
     mask_stack: List[np.ndarray] = []
-    for _, mask, score in oa_targets:
+    for mask, score in zip(mask_list, score_list):
         mask_sum = mask_sum + mask
         mask_stack.append(mask)
         mask_max = np.max(mask_stack, axis=0)
@@ -293,9 +324,9 @@ def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
         m_oa = np.float32(np.random.uniform(0.0, 0.5) if score <= score_thresh
                           else np.random.uniform(0.0, 1.0))
         orig += (1.0 - m_oa) * img * (mask - overlap * 0.5)
-        aug += m_oa * img_oamix * (mask - overlap * 0.5)
+        aug += m_oa * img_aug * (mask - overlap * 0.5)
         mask_sum = mask_max
     out = orig + aug
     out += (1.0 - m_global) * img * (1.0 - mask_sum)
-    out += m_global * img_oamix * (1.0 - mask_sum)
-    return np.asarray(np.clip(out, 0, 255), np.uint8)
+    out += m_global * img_aug * (1.0 - mask_sum)
+    return np.clip(out, 0, 255)

@@ -706,8 +706,11 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     ml_boxes, ml_valid = _sample_random_boxes(
         keys[0], img_shape, tuple(cfg.get("random_box_scale", (0.01, 0.1))),
         tuple(cfg.get("random_box_ratio", (3, 1 / 3))), MAX_ML, 1, 3)
+    # HARD masks: the reference builds multilevel region masks WITHOUT
+    # blur (oa_mix.py:137 get_random_regions default use_blur=False;
+    # only fg masks are blurred) — confirmed by the golden parity test.
     ml_masks = jax.vmap(lambda b, v: jnp.where(
-        v, _blurred_box_mask(b, h, w, sigma_ratio), 0.0))(ml_boxes, ml_valid)
+        v, _hard_box_mask(jnp.floor(b), h, w), 0.0))(ml_boxes, ml_valid)
     union_mask = jnp.max(ml_masks, axis=0)
 
     # fg regions: saliency scores + static slots + per-image mask maps
@@ -838,7 +841,21 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
               + _box_blur_1d(2.0 * h - ys, y1, y2, sy))
         return jnp.clip(fx, 0.0, 1.0), jnp.clip(fy, 0.0, 1.0)
 
-    rfx, rfy = jax.vmap(reg_profiles)(region_boxes)   # (R, W), (R, H)
+    def hard_profiles(box):
+        x1, y1, x2, y2 = (jnp.floor(box[0]), jnp.floor(box[1]),
+                          jnp.floor(box[2]), jnp.floor(box[3]))
+        xs = jnp.arange(w, dtype=jnp.float32)
+        ys = jnp.arange(h, dtype=jnp.float32)
+        return (((xs >= x1) & (xs < x2)).astype(jnp.float32),
+                ((ys >= y1) & (ys < y2)).astype(jnp.float32))
+
+    # fg regions keep blurred profiles; oa RANDOM boxes use HARD masks
+    # (reference get_random_regions default — golden-test confirmed)
+    n_fg_reg = fg_boxes.shape[0]
+    fgx, fgy = jax.vmap(reg_profiles)(region_boxes[:n_fg_reg])
+    hx, hy = jax.vmap(hard_profiles)(region_boxes[n_fg_reg:])
+    rfx = jnp.concatenate([fgx, hx], axis=0)          # (R, W)
+    rfy = jnp.concatenate([fgy, hy], axis=0)          # (R, H)
     score_thr = float(cfg.get("score_thresh", 10))
 
     def mix_body(i, carry):
