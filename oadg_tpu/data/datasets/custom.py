@@ -27,6 +27,7 @@ class CustomDataset:
         self.ann_file = ann_file
         self.data_root = data_root
         self.img_prefix = img_prefix
+        self.seg_prefix = seg_prefix
         self.test_mode = test_mode
         self.filter_empty_gt = filter_empty_gt
         self.CLASSES = self.get_classes(classes)
@@ -81,6 +82,7 @@ class CustomDataset:
 
     def pre_pipeline(self, results):
         results["img_prefix"] = self.img_prefix
+        results["seg_prefix"] = getattr(self, "seg_prefix", None)
         results["bbox_fields"] = []
         results["mask_fields"] = []
         results["seg_fields"] = []

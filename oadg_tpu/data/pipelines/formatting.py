@@ -134,3 +134,90 @@ class MultiScaleFlipAug:
         merged = {k: [d[k] for d in aug_data] for k in aug_data[0]}
         merged["__tta__"] = True
         return merged
+
+
+@PIPELINES.register_module()
+class ToTensor:
+    """Convert keys to the framework's array currency (reference
+    formating.py:38 converts to torch.Tensor; here batches move to device
+    as numpy and jnp.asarray happens at dispatch, so this normalizes to
+    contiguous numpy arrays)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = np.ascontiguousarray(np.asarray(results[key]))
+        return results
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}(keys={self.keys})"
+
+
+@PIPELINES.register_module()
+class Transpose:
+    """Transpose array axes (reference formating.py:104)."""
+
+    def __init__(self, keys, order):
+        self.keys = keys
+        self.order = tuple(order)
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = np.asarray(results[key]).transpose(self.order)
+        return results
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}(keys={self.keys}, order={self.order})"
+
+
+class DataContainer:
+    """Minimal stand-in for mmcv.parallel.DataContainer: tags a value with
+    stack/pad metadata. The static-shape loader ignores the metadata (it
+    pads everything), but configs using ToDataContainer keep working and
+    downstream code can unwrap ``.data``."""
+
+    def __init__(self, data, stack=False, padding_value=0, cpu_only=False):
+        self.data = data
+        self.stack = stack
+        self.padding_value = padding_value
+        self.cpu_only = cpu_only
+
+    def __repr__(self):
+        return f"DataContainer({self.data!r})"
+
+
+@PIPELINES.register_module()
+class ToDataContainer:
+    """Wrap keys in DataContainers (reference formating.py:136)."""
+
+    def __init__(self, fields=(dict(key="img", stack=True),
+                               dict(key="gt_bboxes"),
+                               dict(key="gt_labels"))):
+        self.fields = tuple(dict(f) for f in fields)
+
+    def __call__(self, results):
+        for field in self.fields:
+            f = dict(field)
+            key = f.pop("key")
+            if key in results:
+                results[key] = DataContainer(results[key], **f)
+        return results
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}(fields={self.fields})"
+
+
+@PIPELINES.register_module()
+class WrapFieldsToLists:
+    """Wrap every field into a single-element list (reference
+    formating.py:365 — single-image inference collation)."""
+
+    def __call__(self, results):
+        for key, val in results.items():
+            results[key] = [val]
+        return results
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}()"

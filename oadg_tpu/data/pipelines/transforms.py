@@ -641,3 +641,107 @@ class Albu:
         raise ImportError(
             "albumentations is not available in this environment; replace "
             "the Albu pipeline op with in-repo transforms")
+
+
+@PIPELINES.register_module()
+class InstaBoost:
+    """Instance crop-jitter-paste augmentation (reference
+    pipelines/instaboost.py:8, which wraps the ``instaboostfast``
+    package — not available here). This is a self-contained cv2
+    reimplementation of the core InstaBoost move: with probability
+    ``aug_ratio``, each masked instance is cut out, its hole inpainted,
+    and the instance re-pasted at a jittered position/scale/flip drawn
+    from the same parameter ranges the reference configures. The
+    package's appearance-consistency heatmap guidance is NOT replicated
+    (jitter targets are sampled uniformly in the configured ranges) —
+    a documented approximation.
+    """
+
+    def __init__(self, action_candidate=("normal", "horizontal", "skip"),
+                 action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                 theta=(-1, 1), color_prob=0.5, hflag=False,
+                 aug_ratio=0.5):
+        self.action_candidate = action_candidate
+        self.action_prob = action_prob
+        self.scale = scale
+        self.dx = dx
+        self.dy = dy
+        self.theta = theta
+        self.color_prob = color_prob
+        self.hflag = hflag
+        self.aug_ratio = aug_ratio
+
+    def _paste_one(self, img, mask):
+        import cv2
+        h, w = img.shape[:2]
+        m8 = (np.asarray(mask) > 0).astype(np.uint8)
+        if m8.sum() < 16:
+            return img, mask
+        act = np.random.choice(self.action_candidate,
+                               p=np.asarray(self.action_prob, float)
+                               / max(sum(self.action_prob), 1e-9))
+        if act == "skip":
+            return img, mask
+        ys, xs = np.nonzero(m8)
+        x1, x2, y1, y2 = xs.min(), xs.max() + 1, ys.min(), ys.max() + 1
+        patch = img[y1:y2, x1:x2].copy()
+        pmask = m8[y1:y2, x1:x2].copy()
+        # inpaint the hole
+        img = cv2.inpaint(img, m8 * 255, 3, cv2.INPAINT_TELEA)
+        # jittered placement
+        s = np.random.uniform(*self.scale)
+        tx = int(np.random.uniform(-self.dx, self.dx))
+        ty = int(np.random.uniform(-self.dy, self.dy))
+        ang = np.random.uniform(*self.theta)
+        ph, pw = max(int(pmask.shape[0] * s), 1), max(
+            int(pmask.shape[1] * s), 1)
+        patch = cv2.resize(patch, (pw, ph))
+        pmask = cv2.resize(pmask, (pw, ph),
+                           interpolation=cv2.INTER_NEAREST)
+        if act == "horizontal":
+            patch, pmask = patch[:, ::-1], pmask[:, ::-1]
+        if abs(ang) > 1e-3:
+            M = cv2.getRotationMatrix2D((pw / 2, ph / 2), ang, 1.0)
+            patch = cv2.warpAffine(patch, M, (pw, ph))
+            pmask = cv2.warpAffine(pmask, M, (pw, ph),
+                                   flags=cv2.INTER_NEAREST)
+        nx1 = int(np.clip(x1 + tx, 0, max(w - pw, 0)))
+        ny1 = int(np.clip(y1 + ty, 0, max(h - ph, 0)))
+        pw = min(pw, w - nx1)
+        ph = min(ph, h - ny1)
+        patch, pmask = patch[:ph, :pw], pmask[:ph, :pw]
+        region = img[ny1:ny1 + ph, nx1:nx1 + pw]
+        sel = pmask.astype(bool)
+        region[sel] = patch[sel]
+        new_mask = np.zeros_like(m8)
+        new_mask[ny1:ny1 + ph, nx1:nx1 + pw] = pmask
+        return img, new_mask
+
+    def __call__(self, results):
+        if np.random.uniform() > self.aug_ratio:
+            return results
+        masks = results.get("gt_masks")
+        if masks is None or len(getattr(masks, "masks", masks)) == 0:
+            return results
+        arrs = getattr(masks, "masks", masks)
+        img = np.ascontiguousarray(results["img"]).astype(np.uint8)
+        new_masks = []
+        boxes = []
+        for m in arrs:
+            img, nm = self._paste_one(img, m)
+            new_masks.append(nm)
+            ys, xs = np.nonzero(nm)
+            if len(xs):
+                boxes.append([xs.min(), ys.min(), xs.max() + 1,
+                              ys.max() + 1])
+            else:
+                boxes.append([0, 0, 0, 0])
+        results["img"] = img.astype(results["img"].dtype)
+        if hasattr(masks, "masks"):
+            from ...core.mask.structures import BitmapMasks
+            results["gt_masks"] = BitmapMasks(new_masks, img.shape[0],
+                                              img.shape[1])
+        else:
+            results["gt_masks"] = np.stack(new_masks)
+        results["gt_bboxes"] = np.asarray(boxes, np.float32)
+        return results

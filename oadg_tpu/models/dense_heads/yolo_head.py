@@ -19,14 +19,16 @@ import numpy as np
 from ...core.bbox.coder import YOLOBBoxCoder
 from ...core.bbox.geometry import bbox_overlaps
 from ...core.post_processing.nms import multiclass_nms
-from ...utils.registry import HEADS, LOSSES, build_from_cfg
+from ...utils.registry import (HEADS, LOSSES, PRIOR_GENERATORS,
+                               build_from_cfg)
 from ..layers import Conv, ConvModule
 from ..losses.common import binary_cross_entropy_with_logits, weight_reduce_loss
 from ..losses.oadg import jsd_consistency, supcontrast
 
 
 class YOLOAnchorGenerator:
-    """Multi-size grid priors (reference core/anchor YOLOAnchorGenerator)."""
+    """Multi-size grid priors (reference core/anchor YOLOAnchorGenerator;
+    registered in PRIOR_GENERATORS for config-driven construction)."""
 
     def __init__(self, base_sizes, strides):
         self.base_sizes = base_sizes
@@ -62,6 +64,9 @@ class YOLOAnchorGenerator:
             cell = np.repeat(np.arange(h * w), len(sizes))
             idx.append(cell)
         return idx
+
+
+PRIOR_GENERATORS.register_module(module=YOLOAnchorGenerator)
 
 
 @HEADS.register_module()

@@ -1,1 +1,2 @@
 
+from .roi_extractors import GenericRoIExtractor, SingleRoIExtractor

@@ -55,6 +55,12 @@ class StandardRoIHead(nn.Module):
         else:
             self.shared_head_m = None
         ext = dict(self.bbox_roi_extractor or {})
+        if ext.get("type") == "GenericRoIExtractor":
+            from ...utils.registry import ROI_EXTRACTORS
+            self.roi_extractor_m = build_from_cfg(
+                dict(ext, dtype=self.dtype), ROI_EXTRACTORS)
+        else:
+            self.roi_extractor_m = None
         roi_layer = dict(ext.get("roi_layer", dict(output_size=7)))
         self.roi_out_size = int(roi_layer.get("output_size", 7))
         self.featmap_strides = tuple(ext.get("featmap_strides", (4, 8, 16, 32)))
@@ -96,6 +102,10 @@ class StandardRoIHead(nn.Module):
 
     def extract(self, feats, rois, out_size: Optional[int] = None):
         """Multilevel RoIAlign (R, 5) -> (R, out, out, C)."""
+        if self.roi_extractor_m is not None:   # GenericRoIExtractor cfg
+            return self.roi_extractor_m(
+                list(feats[: len(self.featmap_strides)]), rois,
+                out_size=out_size or self.roi_out_size)
         return roi_align_multilevel(
             list(feats[: len(self.featmap_strides)]), rois,
             output_size=out_size or self.roi_out_size,

@@ -1,0 +1,244 @@
+"""Tiny-fixture tests for the long-tail/face/fashion/panoptic datasets and
+the round-3 pipeline ops (VERDICT r2 Missing #6/#7)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from oadg_tpu.data import build_dataset
+from oadg_tpu.core.evaluation.panoptic_eval import (id2rgb, pq_compute,
+                                                    rgb2id)
+
+PIPE = [dict(type="LoadImageFromFile"),
+        dict(type="LoadAnnotations", with_bbox=True)]
+
+
+def _write_img(path, h=48, w=64):
+    img = np.random.RandomState(0).randint(0, 255, (h, w, 3), np.uint8)
+    cv2.imwrite(str(path), img)
+    return img
+
+
+def test_lvis_v1_dataset(tmp_path):
+    (tmp_path / "imgs").mkdir()
+    _write_img(tmp_path / "imgs" / "000001.jpg")
+    ann = dict(
+        images=[dict(id=1, width=64, height=48,
+                     coco_url="http://images.cocodataset.org/imgs/000001.jpg",
+                     not_exhaustive_category_ids=[], neg_category_ids=[])],
+        annotations=[dict(id=1, image_id=1, category_id=7,
+                          bbox=[4, 4, 20, 18], area=360),
+                     dict(id=2, image_id=1, category_id=3,
+                          bbox=[30, 10, 16, 20], area=320)],
+        categories=[dict(id=3, name="aerosol_can"),
+                    dict(id=7, name="anchovy")])
+    p = tmp_path / "lvis.json"
+    p.write_text(json.dumps(ann))
+    ds = build_dataset(dict(type="LVISV1Dataset", ann_file=str(p),
+                            img_prefix=str(tmp_path), pipeline=PIPE))
+    assert len(ds) == 1
+    assert ds.CLASSES == ("aerosol_can", "anchovy")
+    sample = ds[0]
+    assert sample["gt_bboxes"].shape == (2, 4)
+    # coco_url -> relative filename
+    assert ds.data_infos[0]["filename"] == "imgs/000001.jpg"
+    # evaluate with perfect detections
+    dets = [[np.zeros((0, 5), np.float32) for _ in range(2)]]
+    gt = ds.get_ann_info(0)
+    for b, l in zip(gt["bboxes"], gt["labels"]):
+        dets[0][l] = np.concatenate(
+            [dets[0][l], np.asarray([[*b, 1.0]], np.float32)])
+    res = ds.evaluate(dets, metric="bbox")
+    assert res["bbox_mAP"] > 0.99
+
+
+def test_wider_face_dataset(tmp_path):
+    root = tmp_path
+    (root / "Annotations").mkdir()
+    (root / "0--Parade").mkdir()
+    _write_img(root / "0--Parade" / "0_Parade_1.jpg")
+    (root / "Annotations" / "0_Parade_1.xml").write_text("""
+<annotation><folder>0--Parade</folder><size><width>64</width>
+<height>48</height><depth>3</depth></size>
+<object><name>face</name><difficult>0</difficult>
+<bndbox><xmin>5</xmin><ymin>5</ymin><xmax>25</xmax><ymax>25</ymax></bndbox>
+</object></annotation>""")
+    (root / "train.txt").write_text("0_Parade_1\n")
+    ds = build_dataset(dict(type="WIDERFaceDataset",
+                            ann_file=str(root / "train.txt"),
+                            img_prefix=str(root), pipeline=PIPE))
+    assert len(ds) == 1 and ds.CLASSES == ("face",)
+    s = ds[0]
+    assert s["gt_bboxes"].shape[0] == 1
+    assert s["gt_labels"][0] == 0
+
+
+def test_deepfashion_classes():
+    from oadg_tpu.data.datasets import DeepFashionDataset
+    assert DeepFashionDataset.CLASSES[0] == "top"
+    assert len(DeepFashionDataset.CLASSES) == 15
+
+
+def _panoptic_fixture(tmp_path):
+    h, w = 48, 64
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "pan").mkdir()
+    _write_img(tmp_path / "imgs" / "img0.jpg", h, w)
+    id_map = np.zeros((h, w), np.uint32)
+    id_map[5:20, 5:25] = 17            # thing (car)
+    id_map[25:45, 5:60] = 31           # stuff (road)
+    cv2.imwrite(str(tmp_path / "pan" / "img0.png"),
+                id2rgb(id_map)[..., ::-1])     # write BGR
+    ann = dict(
+        images=[dict(id=0, file_name="img0.jpg", width=w, height=h)],
+        annotations=[dict(image_id=0, file_name="img0.png",
+                          segments_info=[
+                              dict(id=17, category_id=1,
+                                   bbox=[5, 5, 20, 15], iscrowd=0),
+                              dict(id=31, category_id=100,
+                                   bbox=[5, 25, 55, 20], iscrowd=0)])],
+        categories=[dict(id=1, name="car", isthing=1),
+                    dict(id=100, name="road", isthing=0)])
+    p = tmp_path / "panoptic.json"
+    p.write_text(json.dumps(ann))
+    return p, id_map
+
+
+def test_coco_panoptic_dataset_and_loading(tmp_path):
+    p, id_map = _panoptic_fixture(tmp_path)
+    ds = build_dataset(dict(
+        type="CocoPanopticDataset", ann_file=str(p),
+        img_prefix=str(tmp_path / "imgs"),
+        seg_prefix=str(tmp_path / "pan"),
+        pipeline=[dict(type="LoadImageFromFile"),
+                  dict(type="LoadPanopticAnnotations")]))
+    assert ds.THING_CLASSES == ("car",)
+    assert ds.STUFF_CLASSES == ("road",)
+    s = ds[0]
+    assert s["gt_bboxes"].shape == (1, 4)          # things only
+    assert s["gt_masks"].shape == (1, 48, 64)
+    assert (s["gt_masks"][0] == (id_map == 17)).all()
+    sem = s["gt_semantic_seg"]
+    assert (sem[id_map == 31] == 1).all()          # road label
+    assert (sem[id_map == 0] == 255).all()         # void
+
+    # perfect prediction -> PQ 100
+    preds = [(id_map.astype(np.int64),
+              [dict(id=17, category_id=1), dict(id=31, category_id=100)])]
+    res = ds.evaluate(preds)
+    assert abs(res["PQ"] - 100.0) < 1e-6
+
+
+def test_pq_compute_known_values():
+    gt_map = np.zeros((10, 10), np.int64)
+    gt_map[:5, :] = 1                 # cat 1 thing, 50 px
+    gt_map[5:, :] = 2                 # cat 2, 50 px
+    pred = np.zeros((10, 10), np.int64)
+    pred[:4, :] = 5                   # overlaps gt1 with IoU 40/60=0.667
+    pred[4:, :] = 6                   # overlaps gt2 50/60 = 0.833
+    gts = [dict(seg_map=gt_map,
+                segments_info=[dict(id=1, category_id=1),
+                               dict(id=2, category_id=2)])]
+    preds = [(pred, [dict(id=5, category_id=1),
+                     dict(id=6, category_id=2)])]
+    cats = {1: dict(isthing=1), 2: dict(isthing=0)}
+    pq, sq, rq, per = pq_compute(gts, preds, cats)
+    # gt1 50px vs pred5 40px, inter 40 -> IoU 40/50; gt2 50 vs pred6 60,
+    # inter 50 -> IoU 50/60
+    assert abs(per[1]["sq"] - 40 / 50) < 1e-6
+    assert abs(per[2]["sq"] - 50 / 60) < 1e-6
+    assert per[1]["rq"] == 1.0 and per[2]["rq"] == 1.0
+
+
+def test_round3_pipeline_ops():
+    from oadg_tpu.utils.registry import PIPELINES, build_from_cfg
+    # LoadProposals
+    op = build_from_cfg(dict(type="LoadProposals", num_max_proposals=2),
+                        PIPELINES)
+    r = op(dict(proposals=np.ones((5, 5), np.float32), bbox_fields=[]))
+    assert r["proposals"].shape == (2, 4)
+    # FilterAnnotations
+    op = build_from_cfg(dict(type="FilterAnnotations",
+                             min_gt_bbox_wh=(4, 4)), PIPELINES)
+    r = op(dict(gt_bboxes=np.asarray([[0, 0, 2, 2], [0, 0, 10, 10]],
+                                     np.float32),
+                gt_labels=np.asarray([1, 2])))
+    assert r["gt_bboxes"].shape == (1, 4) and r["gt_labels"].tolist() == [2]
+    assert op(dict(gt_bboxes=np.asarray([[0, 0, 1, 1]], np.float32),
+                   gt_labels=np.asarray([1]))) is None
+    # ToTensor / Transpose / ToDataContainer / WrapFieldsToLists
+    op = build_from_cfg(dict(type="ToTensor", keys=["x"]), PIPELINES)
+    assert op(dict(x=[[1, 2]]))["x"].shape == (1, 2)
+    op = build_from_cfg(dict(type="Transpose", keys=["x"], order=(2, 0, 1)),
+                        PIPELINES)
+    assert op(dict(x=np.zeros((4, 5, 3))))["x"].shape == (3, 4, 5)
+    op = build_from_cfg(dict(type="ToDataContainer"), PIPELINES)
+    r = op(dict(img=np.zeros((2, 2, 3)), gt_bboxes=np.zeros((1, 4))))
+    assert r["img"].stack and r["img"].data.shape == (2, 2, 3)
+    op = build_from_cfg(dict(type="WrapFieldsToLists"), PIPELINES)
+    r = op(dict(a=1, b="x"))
+    assert r["a"] == [1] and r["b"] == ["x"]
+
+
+def test_instaboost_smoke():
+    from oadg_tpu.utils.registry import PIPELINES, build_from_cfg
+    np.random.seed(0)
+    op = build_from_cfg(dict(type="InstaBoost", aug_ratio=1.0), PIPELINES)
+    img = np.random.RandomState(1).randint(0, 255, (48, 64, 3), np.uint8)
+    mask = np.zeros((48, 64), np.uint8)
+    mask[10:25, 10:30] = 1
+    r = op(dict(img=img.copy(), gt_masks=[mask],
+                gt_bboxes=np.asarray([[10, 10, 30, 25]], np.float32),
+                gt_labels=np.asarray([0])))
+    assert r["img"].shape == img.shape
+    assert r["gt_bboxes"].shape == (1, 4)
+    assert r["gt_masks"][0].sum() > 0
+    assert (r["img"] != img).any()     # something moved
+
+
+def test_generic_roi_extractor_forward():
+    """GenericRoIExtractor (reference generic_roi_extractor.py:10): sum
+    aggregation over all levels through a StandardRoIHead-shaped call."""
+    import jax
+    import jax.numpy as jnp
+    from oadg_tpu.models.roi_heads.roi_extractors import GenericRoIExtractor
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.rand(1, 32 >> i, 32 >> i, 8).astype(np.float32))
+             for i in range(2)]
+    rois = jnp.asarray([[0, 4, 4, 20, 20]], jnp.float32)
+    ext = GenericRoIExtractor(roi_layer=dict(output_size=7,
+                                             sampling_ratio=2),
+                              out_channels=8, featmap_strides=(4, 8),
+                              aggregation="sum")
+    v = ext.init(jax.random.PRNGKey(0), feats, rois)
+    out = ext.apply(v, feats, rois)
+    assert out.shape == (1, 7, 7, 8)
+    # sum of the two per-level single-level extractions
+    from oadg_tpu.ops.roi_align import roi_align
+    want = sum(np.asarray(roi_align(feats[i], rois, 7, 1.0 / s, 2))
+               for i, s in enumerate((4, 8)))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+
+
+def test_standard_roi_head_builds_generic_extractor():
+    from oadg_tpu.models.roi_heads.standard_roi_head import StandardRoIHead
+    head = StandardRoIHead(
+        bbox_roi_extractor=dict(type="GenericRoIExtractor",
+                                aggregation="sum",
+                                roi_layer=dict(output_size=7),
+                                out_channels=8, featmap_strides=[4, 8]),
+        bbox_head=dict(type="Shared2FCBBoxHead", in_channels=8,
+                       fc_out_channels=16, roi_feat_size=7, num_classes=3,
+                       bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                                       target_means=[0, 0, 0, 0],
+                                       target_stds=[.1, .1, .2, .2])))
+    import jax
+    import jax.numpy as jnp
+    feats = [jnp.zeros((1, 16, 16, 8)), jnp.zeros((1, 8, 8, 8))]
+    rois = jnp.asarray([[0, 2, 2, 10, 10]], jnp.float32)
+    v = head.init(jax.random.PRNGKey(0), feats, rois, method=head.extract)
+    out = head.apply(v, feats, rois, method=head.extract)
+    assert out.shape == (1, 7, 7, 8)

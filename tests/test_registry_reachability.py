@@ -37,6 +37,9 @@ NON_REGISTRY_TYPES = {
     # match costs (core/bbox/hungarian.py builds these inline)
     "ClassificationCost", "BBoxL1Cost", "IoUCost", "FocalLossCost",
     "CrossEntropyLossCost", "DiceCost",
+    # cfg-dict leaf types consumed inline: roi_layer / nms cfg /
+    # upsample cfg
+    "RoIAlign", "nms", "soft_nms", "carafe",
 }
 
 _TYPE_RE = re.compile(r"""type\s*=\s*['"]([A-Za-z0-9_]+)['"]""")
