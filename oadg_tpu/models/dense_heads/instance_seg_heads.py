@@ -204,15 +204,24 @@ class SOLOHead(nn.Module):
         return losses
 
     def get_results(self, outs, img_shapes, scale_factors, cfg=None):
-        """Padded instance results: (B, K, ...) masks + labels + scores."""
+        """Padded instance results (reference solo_head.py:497
+        _get_results_single): score filter -> per-level area filter
+        (mask area > stride) -> maskness rescoring -> mask matrix NMS.
+        Returns (B, K, mh, mw) masks + labels + scores."""
+        from ...core.post_processing.matrix_nms import mask_matrix_nms
         cate_preds, mask_preds = outs
         cfg = dict(cfg or self.test_cfg or {})
         score_thr = float(cfg.get("score_thr", 0.1))
+        mask_thr = float(cfg.get("mask_thr", 0.5))
+        filter_thr = float(cfg.get("filter_thr", 0.05))
+        kernel = str(cfg.get("kernel", "gaussian"))
+        sigma = float(cfg.get("sigma", 2.0))
+        nms_pre = int(cfg.get("nms_pre", 500))
         max_per_img = int(cfg.get("max_per_img", 100))
         # flatten all levels at the finest mask resolution
         b = cate_preds[0].shape[0]
         mh, mw = mask_preds[0].shape[1:3]
-        cates, masks = [], []
+        cates, masks, strides = [], [], []
         for li in range(len(cate_preds)):
             s = self.num_grids[li]
             cates.append(jax.nn.sigmoid(
@@ -220,18 +229,31 @@ class SOLOHead(nn.Module):
             m = mask_preds[li]
             m = jax.image.resize(m, (b, mh, mw, m.shape[-1]), "bilinear")
             masks.append(jnp.transpose(m, (0, 3, 1, 2)))
+            strides.append(jnp.full((s * s,), float(self.strides[li])))
         cate = jnp.concatenate(cates, 1)                # (B, N, C)
         mask = jnp.concatenate(masks, 1)                # (B, N, mh, mw)
+        stride_of = jnp.concatenate(strides)            # (N,)
 
         def one(c, m):
             flat = c.reshape(-1)
-            k = min(max_per_img, flat.shape[0])
+            k = min(nms_pre, flat.shape[0])
             top, ti = jax.lax.top_k(flat, k)
             ci = (ti % self.num_classes).astype(jnp.int32)
             ni = ti // self.num_classes
-            msel = jax.nn.sigmoid(m[ni]) > 0.5
-            keep = top > score_thr
-            return msel, ci, jnp.where(keep, top, 0.0)
+            mp = jax.nn.sigmoid(m[ni])                  # (k, mh, mw)
+            bm = mp > mask_thr
+            sums = bm.sum(axis=(1, 2)).astype(jnp.float32)
+            # area filter: mask bigger than its level stride (the mask
+            # grid is at 1/4 input res, so compare in mask pixels like
+            # the reference does after its own resize)
+            valid = (top > score_thr) & (sums > stride_of[ni])
+            maskness = (mp * bm).sum(axis=(1, 2)) / jnp.maximum(sums, 1.0)
+            sc = top * maskness
+            sc, labels, bms, keep_inds, valid = mask_matrix_nms(
+                bm, ci, sc, valid=valid, filter_thr=filter_thr,
+                max_num=max_per_img, kernel=kernel, sigma=sigma,
+                mask_area=sums)
+            return bms, labels, jnp.where(valid, sc, 0.0)
 
         return jax.vmap(one)(cate, mask)
 
@@ -411,33 +433,46 @@ class YOLACTHead(nn.Module):
 
     def get_bboxes(self, outs, img_shapes, scale_factors, rescale=True,
                    cfg=None):
+        """YOLACT decode (reference yolact_head.py:393 get_bboxes ->
+        core/post_processing/bbox_nms.py:189 fast_nms): per-class top-k,
+        parallel triangular suppression, one global top max_per_img.
+        Returns (dets, labels, valid, coeffs) — coeffs feed the protonet
+        mask assembly."""
+        from ...core.post_processing.matrix_nms import fast_nms
         cls_scores, bbox_preds, coeffs, protos, segm = outs
         cfg = dict(cfg or self.test_cfg or {})
         nms_pre = int(cfg.get("nms_pre", 1000))
         score_thr = float(cfg.get("score_thr", 0.05))
-        iou_thr = float(dict(cfg.get("nms", {})).get("iou_threshold", 0.5))
+        iou_thr = float(cfg.get("iou_thr", dict(cfg.get(
+            "nms", {})).get("iou_threshold", 0.5)))
+        top_k = int(cfg.get("top_k", 200))
         max_per_img = int(cfg.get("max_per_img", 100))
         n = cls_scores[0].shape[0]
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
         anchors = self.prior_gen.grid_priors_cat(featmap_sizes)
         nc = self.num_classes
+        np_proto = coeffs[0].shape[-1] // (
+            cls_scores[0].shape[-1] // (nc + 1))
         cls = jnp.concatenate([s.reshape(n, -1, nc + 1)
                                for s in cls_scores], 1)
         reg = jnp.concatenate([b.reshape(n, -1, 4) for b in bbox_preds], 1)
+        cof = jnp.concatenate([c.reshape(n, -1, np_proto)
+                               for c in coeffs], 1)
 
-        def one(c, r, shape, sf):
-            sc = jax.nn.softmax(c, -1)[:, :nc]
+        def one(c, r, co, shape, sf):
+            sc = jax.nn.softmax(c, -1)
             k = min(nms_pre, sc.shape[0])
-            _, ti = jax.lax.top_k(jnp.max(sc, -1), k)
+            _, ti = jax.lax.top_k(jnp.max(sc[:, :nc], -1), k)
             boxes = self.coder.decode(anchors[ti], r[ti],
                                       max_shape=(shape[0], shape[1]))
             if rescale:
                 boxes = boxes / jnp.asarray(sf, jnp.float32).reshape(-1)[:4]
-            pad = jnp.concatenate([sc[ti], jnp.zeros((k, 1))], -1)
-            return multiclass_nms(boxes, pad, score_thr, iou_thr,
-                                  max_per_img, nc)
+            dets, labels, out_cof, valid = fast_nms(
+                boxes, sc[ti], co[ti], score_thr, iou_thr, top_k,
+                max_per_img)
+            return dets, labels, valid, out_cof
 
-        return jax.vmap(one)(cls, reg, img_shapes, scale_factors)
+        return jax.vmap(one)(cls, reg, cof, img_shapes, scale_factors)
 
 
 @DETECTORS.register_module()
