@@ -100,8 +100,20 @@ class CascadeRoIHead(nn.Module):
 
     def loss(self, feats, proposals, prop_valid, gt_bboxes, gt_valid,
              gt_labels, rng, random_proposals=None, random_valid=None):
+        losses, _ = self._cascade_stages(feats, proposals, prop_valid,
+                                         gt_bboxes, gt_valid, gt_labels, rng)
+        return losses
+
+    def _cascade_stages(self, feats, proposals, prop_valid, gt_bboxes,
+                        gt_valid, gt_labels, rng, refine_all=False):
+        """Run the bbox cascade; return (losses, refined_chain) where
+        refined_chain[i] = (boxes, valid) refined by stage i's regressor —
+        the proposals the reference's interleaved HTC mask branch samples
+        from (htc_roi_head.py: refine_bboxes between bbox and mask).
+        With refine_all the last stage's refinement is computed too."""
         n = feats[0].shape[0]
         losses: Dict[str, jnp.ndarray] = {}
+        refined_chain = []
         cur_boxes, cur_valid = proposals, prop_valid
         keys = jax.random.split(rng, self.num_stages)
         for stage in range(self.num_stages):
@@ -128,7 +140,7 @@ class CascadeRoIHead(nn.Module):
                 losses[f"s{stage}.{k}"] = v * w if k.startswith("loss") else v
             # refine boxes for the next stage (decode predicted deltas of the
             # matched/predicted class, reference bbox_head.refine_bboxes)
-            if stage < self.num_stages - 1:
+            if stage < self.num_stages - 1 or refine_all:
                 r = bbox_pred.shape[0]
                 if head.reg_class_agnostic:
                     deltas = bbox_pred.reshape(r, 4)
@@ -141,7 +153,8 @@ class CascadeRoIHead(nn.Module):
                                             deltas.astype(jnp.float32))
                 cur_boxes = jax.lax.stop_gradient(refined.reshape(n, s_num, 4))
                 cur_valid = valid
-        return losses
+            refined_chain.append((cur_boxes, cur_valid))
+        return losses, refined_chain
 
     def simple_test(self, feats, proposals, prop_valid, img_shapes,
                     scale_factors, rescale=True):

@@ -149,8 +149,9 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
     def loss(self, feats, proposals, prop_valid, gt_bboxes, gt_valid,
              gt_labels, rng, random_proposals=None, random_valid=None,
              gt_masks=None, gt_semantic_seg=None):
-        losses = super().loss(feats, proposals, prop_valid, gt_bboxes,
-                              gt_valid, gt_labels, rng)
+        losses, refined_chain = self._cascade_stages(
+            feats, proposals, prop_valid, gt_bboxes, gt_valid, gt_labels,
+            rng, refine_all=self.interleaved)
         sem_embed = None
         if self.semantic is not None:
             seg, sem_embed = self.semantic(feats)
@@ -169,12 +170,21 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
                     jnp.maximum(jnp.sum(valid), 1.0)) * 0.2
         if gt_masks is None:
             return losses
-        # per-stage mask losses on freshly sampled positives
+        # Per-stage mask losses: stage i samples from the boxes REFINED by
+        # bbox stage i (interleaved=True, reference htc_roi_head.py — it
+        # calls refine_bboxes between the bbox and mask branches of each
+        # stage), or from that stage's entry boxes when interleaved=False
+        # (reference cascade_roi_head.py: same sampling results as bbox).
         n = feats[0].shape[0]
         keys = jax.random.split(jax.random.fold_in(rng, 7), self.num_stages)
-        cur_boxes, cur_valid = proposals, prop_valid
         last_feat = None
         for stage in range(self.num_stages):
+            if self.interleaved:
+                cur_boxes, cur_valid = refined_chain[stage]
+            elif stage == 0:
+                cur_boxes, cur_valid = proposals, prop_valid
+            else:
+                cur_boxes, cur_valid = refined_chain[stage - 1]
             skeys = jax.random.split(keys[stage], n)
             boxes, labels, is_pos, valid, matched = jax.vmap(
                 lambda k, p, pv, g, gv, gl, s=stage: self._stage_sample(
