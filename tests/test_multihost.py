@@ -85,6 +85,87 @@ SUBPROC = textwrap.dedent("""
 """)
 
 
+SUBPROC_TRAIN = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=pid)
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_model_cfg, _train_batch
+    from oadg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from oadg_tpu.engine.train_step import make_train_step
+    from oadg_tpu.models import build_detector
+    from oadg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    cfg, model = _flagship_model_cfg(tiny=True)
+    num_views = int(cfg.get("num_views", 2))
+    det = build_detector(model, num_views=num_views)
+    mesh = make_mesh(n_data=8)          # 2 procs x 4 virtual devices
+    # global batch = 8 images (4 clean + 4 aug, views-major); each process
+    # contributes its local 4 rows of the SAME host-global batch.
+    full = _train_batch(8, 128, 128)
+    local = jax.tree_util.tree_map(lambda a: a[4 * pid:4 * (pid + 1)], full)
+
+    variables = jax.jit(lambda rngs, b: det.init(rngs, b, "train"))(
+        {{"params": jax.random.PRNGKey(0),
+          "sampling": jax.random.PRNGKey(1)}}, full)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    sched = build_lr_schedule(cfg.get("lr_config"), cfg.optimizer["lr"], 100)
+    tx = build_optimizer(params, cfg.optimizer, sched, model_cfg=model)
+    opt_state = tx.init(params)
+
+    step = make_train_step(det, tx, mesh=mesh, donate=False)
+    params = replicate(params, mesh)
+    batch_stats = replicate(batch_stats, mesh) if batch_stats else None
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(local, mesh)
+    assert batch["img"].shape[0] == 8, batch["img"].shape
+
+    params, batch_stats, opt_state, log_vars = step(
+        params, batch_stats, opt_state, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(log_vars)
+    total = float(log_vars["loss"])
+    assert np.isfinite(total), log_vars
+    print("proc %d: TRAINLOSS=%.6f OK" % (pid, total))
+""")
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    """One REAL OA-DG train step across 2 jax.distributed processes
+    (reference analog: DDP train iteration, mmdet/apis/train.py:113-121).
+    Both processes must agree on the global psum-reduced loss."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker_train.py"
+    script.write_text(SUBPROC_TRAIN.format(repo=repo))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    losses = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "OK" in out
+        losses.append(float(out.split("TRAINLOSS=")[1].split(" ")[0]))
+    assert losses[0] == losses[1], losses
+
+
 @pytest.mark.slow
 def test_two_process_distributed_mesh(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1,7 +1,7 @@
 """Probe: violator statistics of the rois that reach RoIAlign in the
 flagship bench step (sampled proposals + random proposals)."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_oadg")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
