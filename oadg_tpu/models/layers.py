@@ -64,10 +64,71 @@ class Conv(nn.Module):
             kw["kernel_init"] = self.kernel_init
         if self.bias_init is not None:
             kw["bias_init"] = self.bias_init
+        if (k == (7, 7) and _pair(self.stride) == (2, 2) and p == (3, 3)
+                and _pair(self.dilation) == (1, 1) and x.shape[-1] <= 4
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            # ResNet-family stem: see _S2DStemConv. Param path/shape is
+            # identical to the nn.Conv branch (name="Conv_0").
+            return _S2DStemConv(self.features, use_bias=self.use_bias,
+                                dtype=self.dtype, name="Conv_0", **kw)(x)
         return nn.Conv(self.features, k, strides=_pair(self.stride),
                        padding=[(p[0], p[0]), (p[1], p[1])],
                        kernel_dilation=_pair(self.dilation),
                        use_bias=self.use_bias, dtype=self.dtype, **kw)(x)
+
+
+class _S2DStemConv(nn.Module):
+    """7x7/s2 stem conv computed as an EXACT 2x2 space-to-depth conv.
+
+    C_in=3 occupies 3 of the MXU's 128 reduction lanes: the stem was the
+    single slowest conv of the flagship step (10.5 ms, ~4% MFU — every
+    other conv profiles at 80-90%). Folding a 2x2 space-to-depth into
+    both input and kernel (the MLPerf ResNet trick) yields a 4x4/s1 conv
+    with C_in=12 — same math, reassociated: out[i,j] taps
+    x[2i+dy-3, 2j+dx-3] for dy,dx in [0,7), and over a front-zero-padded
+    8x8 kernel the tap index factors as dy+1 = 2a+p with a in [0,4),
+    p in {0,1} — exactly the (block, phase) decomposition of the
+    space-to-depth layout.
+
+    The parameter keeps the reference (7, 7, C, F) shape and the flax
+    param path ``.../Conv_0/kernel`` — checkpoints, the torch converter
+    and init distributions are untouched.
+    """
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = None
+    bias_init: Any = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        f = self.features
+        kern = self.param(
+            "kernel",
+            self.kernel_init or nn.initializers.lecun_normal(),
+            (7, 7, cin, f))
+        dtype = self.dtype or x.dtype
+        # kernel: (7,7,cin,F) -> zero row/col at the FRONT -> (8,8,cin,F)
+        # -> (a,p,b,q,cin,F) -> (a,b, p*q*cin, F)
+        kp = jnp.pad(kern, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = kp.reshape(4, 2, 4, 2, cin, f).transpose(0, 2, 1, 3, 4, 5)
+        k2 = k2.reshape(4, 4, 4 * cin, f).astype(dtype)
+        # input: (B,H,W,C) -> (B,H/2,W/2, p*q*C), channel order (p,q,c)
+        b, h, w, _ = x.shape
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                    4 * cin)
+        y = jax.lax.conv_general_dilated(
+            x2.astype(dtype), k2, window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias",
+                              self.bias_init or nn.initializers.zeros,
+                              (f,))
+            y = y + bias.astype(dtype)
+        return y
 
 
 class FrozenBN(nn.Module):

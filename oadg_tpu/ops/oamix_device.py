@@ -768,10 +768,15 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         def depth_step(d, img_aug16):
             def slot_body(img_tmp, sx):
                 ck, od, mask, act = sx
-                out_s = _aug_once(img_aug16, ck, od, fg, img_shape,
-                                  severity, version,
-                                  active=act).astype(jnp.float32)
-                return img_tmp + mask[..., None] * out_s, None
+
+                def run(it):
+                    out_s = _aug_once(img_aug16, ck, od, fg, img_shape,
+                                      severity, version).astype(jnp.float32)
+                    return it + mask[..., None] * out_s
+
+                # inactive slots have an all-zero mask: skip BOTH the op and
+                # the full-image multiply-add (bit-exact — adding zero)
+                return jax.lax.cond(act, run, lambda it: it, img_tmp), None
 
             img_tmp, _ = jax.lax.scan(
                 slot_body, jnp.zeros(img_aug16.shape, jnp.float32),

@@ -309,6 +309,43 @@ def _ml_tap_geometry(rois, output_size, featmap_strides, finest_scale,
             (rows(y1i, x1i), okf * wy * wx))
 
 
+def _roi_align_exact_small(feats, rois, output_size, featmap_strides,
+                           sampling_ratio, finest_scale):
+    """Exact RoIAlign for a SMALL roi subset via per-level corner gathers.
+
+    The chunked gather impl concatenates every level into a channel-paired
+    (sum_l B*H_l*W_l, 2C) table — a ~1.4 GB materialization (~10 ms/step
+    at flagship shapes) that is absurd for the <=256-roi violator passes.
+    Four corner gathers per level on each level's own flat view (free
+    reshape, no copy) cost only O(V * taps * C). Bit-identical math to
+    the chunked impl: same tap geometry, same corner weights."""
+    out = output_size
+    sr = max(int(sampling_ratio), 1)
+    num_levels = len(feats)
+    b = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    hs = np.array([f.shape[1] for f in feats])
+    ws = np.array([f.shape[2] for f in feats])
+    level_off = np.concatenate([[0], np.cumsum(b * hs * ws)[:-1]])
+    lvl = map_roi_levels(rois, num_levels, finest_scale)
+    taps = _ml_tap_geometry(rois, out, featmap_strides, finest_scale,
+                            sampling_ratio, hs, ws, level_off, b)
+    rshape = taps[0][0].shape                      # (V, S, S)
+    val = jnp.zeros(rshape + (c,), jnp.float32)
+    for l in range(num_levels):
+        flat = feats[l].reshape(-1, c)
+        size = flat.shape[0]
+        sel = (lvl == l)[:, None, None, None]
+        for ri, w in taps:
+            local = jnp.clip(ri - int(level_off[l]), 0, size - 1)
+            v = jnp.take(flat, local.reshape(-1), axis=0,
+                         mode="clip").reshape(rshape + (c,))
+            val = val + jnp.where(
+                sel, w[..., None] * v.astype(jnp.float32), 0.0)
+    val = val.reshape(-1, out, sr, out, sr, c)
+    return val.mean(axis=(2, 4))
+
+
 def _roi_align_forward(feats, rois, output_size, featmap_strides,
                        sampling_ratio, finest_scale, chunk):
     """Forward dispatch: pallas window kernel on TPU (exact same bilinear
@@ -352,11 +389,10 @@ def _roi_align_forward(feats, rois, output_size, featmap_strides,
         acc, mask = state
         _, idx = jax.lax.top_k(mask.astype(jnp.float32), V)
         sel = mask[idx]
-        sub = _roi_align_multilevel_impl(
+        sub = _roi_align_exact_small(
             feats, rois[idx], output_size=out,
             featmap_strides=tuple(featmap_strides),
-            sampling_ratio=sampling_ratio, finest_scale=finest_scale,
-            chunk=min(chunk, V))
+            sampling_ratio=sampling_ratio, finest_scale=finest_scale)
         acc = acc.at[idx].set(jnp.where(sel[:, None, None, None], sub,
                                         acc[idx]))
         return acc, mask & ~jnp.zeros_like(mask).at[idx].set(sel)
@@ -577,7 +613,11 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
             hs, ws, level_off, shapes)
         d_table = jnp.zeros((n_rows, c), acc_dt)
         viol = ~compact
-        V = min(512, r)
+        # violators are ~3.5% of proposals (probe_roi_windows.py); 256
+        # covers a flagship batch in one pass — the while loop absorbs
+        # pathological batches. V=512 made the tap scatter process 2x the
+        # update rows it needed (~18 ms/step -> ~9).
+        V = min(256, r)
 
         def any_viol_body(state):
             tbl, mask = state

@@ -59,13 +59,18 @@ def crop_resize_gray(img: jnp.ndarray, box: jnp.ndarray,
     u1i = jnp.clip(u0i + 1, 0, wth - 1)
     v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
     v1i = jnp.clip(v0i + 1, 0, h - 1)
-    g00 = gray[v0i[:, None], u0i[None, :]]
-    g01 = gray[v0i[:, None], u1i[None, :]]
-    g10 = gray[v1i[:, None], u0i[None, :]]
-    g11 = gray[v1i[:, None], u1i[None, :]]
-    top = g00 * (1 - fv_u)[None, :] + g01 * fv_u[None, :]
-    bot = g10 * (1 - fv_u)[None, :] + g11 * fv_u[None, :]
-    return top * (1 - fv_v)[:, None] + bot * fv_v[:, None]
+    # Separable bilinear sampling via ROW slices instead of 2D point
+    # gathers: gray[v[:,None], u[None,:]] lowers to 4096 scalar-granularity
+    # gathers from the 8 MB image (measured ~11 ms/step across the 4 taps
+    # in the flagship bench). Row gathers read contiguous (1, W) slices;
+    # the column step then gathers (1, 64) slices from a 512 KB operand.
+    r0 = gray[v0i, :]                                            # (64, W)
+    r1 = gray[v1i, :]
+    rows = r0 * (1 - fv_v)[:, None] + r1 * fv_v[:, None]         # (64, W)
+    rows_t = rows.T                                              # (W, 64)
+    out_t = (rows_t[u0i] * (1 - fv_u)[:, None]
+             + rows_t[u1i] * fv_u[:, None])                      # (64u, 64v)
+    return out_t.T
 
 
 def spectral_residual_saliency(gray64: jnp.ndarray) -> jnp.ndarray:
