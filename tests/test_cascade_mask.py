@@ -5,6 +5,7 @@ per-stage mask losses."""
 import os
 import sys
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from oadg_tpu.models import build_detector
 
 
+@pytest.mark.slow
 def test_cascade_mask_train_has_per_stage_mask_losses():
     model = dict(
         type='CascadeRCNN',

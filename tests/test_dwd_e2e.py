@@ -43,6 +43,7 @@ def _write_domain(root, name, n_imgs=2):
     return dom
 
 
+@pytest.mark.slow
 def test_sdgod_dataset_and_test_dwd_cli(tmp_path, monkeypatch, capsys):
     domains = ["daytime_clear", "night_sunny"]
     dom_dirs = [_write_domain(tmp_path, d) for d in domains]

@@ -32,6 +32,7 @@ def oadg_setup(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_oadg_train_two_iters(oadg_setup, tmp_path):
     root = oadg_setup
     from tests.test_forward import TEST_CFG, TRAIN_CFG

@@ -16,6 +16,8 @@ import jax.random as jr
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from oadg_tpu.models import build_detector
 
 BB18 = dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3))
