@@ -153,3 +153,30 @@ def show_result_pyplot(model: DetectorHandle, img, result,
     return imshow_det_bboxes(img, bboxes, labels,
                              class_names=model.CLASSES,
                              score_thr=score_thr, out_file=out_file, **kwargs)
+
+
+async def async_inference_detector(model: DetectorHandle, imgs):
+    """Async inference (reference mmdet/apis/inference.py:155).
+
+    JAX dispatch is already asynchronous: each ``model.test`` call
+    enqueues device work and returns immediately, so all images are
+    dispatched before any result is awaited; the host->numpy fetches run
+    in the default executor so the event loop stays free (the role
+    torch.cuda streams play in the reference).
+    """
+    import asyncio
+
+    single = not isinstance(imgs, (list, tuple))
+    if single:
+        imgs = [imgs]
+    outs = [model.test(prepare_batch(model, img)) for img in imgs]
+    loop = asyncio.get_event_loop()
+    results = []
+    for dets, labels, valid in outs:
+        d, l, v = await loop.run_in_executor(
+            None, lambda o=(dets, labels, valid): jax.device_get(o))
+        vv = np.asarray(v[0])
+        results.append(bbox2result(np.asarray(d[0])[vv],
+                                   np.asarray(l[0])[vv],
+                                   model.num_classes))
+    return results[0] if single else results

@@ -117,6 +117,28 @@ def train_detector(detector, dataset, cfg, distributed: bool = False,
                               val_dataset=val_dataset, val_loader=val_loader,
                               mesh=mesh, preprocess=preprocess, logger=logger,
                               seed=int(cfg.get("seed", 0) or 0))
+    # backbone Pretrained init (reference: mmcv init_cfg / model.pretrained,
+    # e.g. open-mmlab://detectron2/resnet101_caffe in the DWD flagship
+    # recipe, faster_rcnn_r101_dc5_1x_dwd.py:9-11): merge the (resolved,
+    # downloaded, converted) backbone weights into the fresh init before
+    # any load_from/resume overrides them.
+    model_cfg = dict(cfg.get("model") or {})
+    bb_cfg = dict(model_cfg.get("backbone") or {})
+    init_cfg = dict(bb_cfg.get("init_cfg") or {})
+    pretrained = (init_cfg.get("checkpoint")
+                  if init_cfg.get("type") == "Pretrained" else None)
+    pretrained = pretrained or model_cfg.get("pretrained")
+    if pretrained:
+        from ..utils.checkpoint import (load_checkpoint_variables,
+                                        merge_variables)
+        logger.info(f"initializing backbone from {pretrained}")
+        pre = load_checkpoint_variables(pretrained)
+        merged = merge_variables(
+            {"params": runner.params,
+             "batch_stats": runner.batch_stats or {}}, pre, logger=logger)
+        runner.params = merged["params"]
+        if runner.batch_stats is not None:
+            runner.batch_stats = merged["batch_stats"]
     if cfg.get("resume_from"):
         runner.resume(cfg["resume_from"])
     elif cfg.get("auto_resume"):

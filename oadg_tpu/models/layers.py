@@ -108,7 +108,11 @@ class _S2DStemConv(nn.Module):
             "kernel",
             self.kernel_init or nn.initializers.lecun_normal(),
             (7, 7, cin, f))
-        dtype = self.dtype or x.dtype
+        # Mirror flax promote_dtype semantics: with dtype unset, promote
+        # input and kernel to their common dtype with the f32 params
+        # (a bf16 image then computes in f32, exactly like the nn.Conv
+        # fallback would) instead of silently adopting x.dtype.
+        dtype = self.dtype or jnp.promote_types(x.dtype, kern.dtype)
         # kernel: (7,7,cin,F) -> zero row/col at the FRONT -> (8,8,cin,F)
         # -> (a,p,b,q,cin,F) -> (a,b, p*q*cin, F)
         kp = jnp.pad(kern, ((1, 0), (1, 0), (0, 0), (0, 0)))

@@ -53,11 +53,16 @@ WIN_X_S = 24
 WIN = WIN_Y              # back-compat alias (span criterion per axis)
 
 
-def _kernel(num_levels, out, c, table_dtype,
+def _kernel(num_levels, out, c, table_dtype, win_y, win_x,
+            win_y_s, win_x_s, small_levels, full_levels,
             lvl_ref, bi_ref, y0_ref, x0_ref, ok_ref, cls_ref,
             dy_ref, a_ref, b_ref, *refs):
     """Grid step = one roi. refs = [in_0..in_L-1, out_0..out_L-1,
-    win_scratch, sem_in, sem_out] (inputs aliased to outputs)."""
+    win_scratch, sem_in, sem_out] (inputs aliased to outputs).
+
+    ``small_levels`` / ``full_levels``: static level-index tuples a class
+    may DMA — a too-large slice on an undersized level is a trace-time
+    error even when predicated off, so branches are emitted per class."""
     outs = refs[num_levels:2 * num_levels]
     win = refs[2 * num_levels]
     sem_in = refs[2 * num_levels + 1]
@@ -71,55 +76,68 @@ def _kernel(num_levels, out, c, table_dtype,
     ok = ok_ref[r]
     cls = cls_ref[r]                               # 0 small, 1 full window
 
-    # G[a, b, c] = sum_oy sum_ox A[a, oy] dy[oy, ox, c] B[b, ox]
-    # Two-stage broadcast-FMA (static slices only — Mosaic lowers 3D
-    # reshapes/dots to unsupported gathers): ~2.2 MFLOP per roi on the
-    # VPU, negligible next to the window DMA.
-    A = a_ref[0]                                   # (WIN_Y, out) f32
-    Bm = b_ref[0]                                  # (WIN_X, out) f32
-    dy = dy_ref[0].astype(jnp.float32)             # (out, out, C)
-    t = jnp.zeros((WIN_Y, out, c), jnp.float32)    # t[a, ox, c]
-    for oy in range(out):
-        t = t + A[:, oy][:, None, None] * dy[oy][None, :, :]
-    g_win = jnp.zeros((WIN_Y, WIN_X, c), jnp.float32)
-    for ox in range(out):
-        g_win = g_win + (t[:, ox, :][:, None, :]
-                         * Bm[:, ox][None, :, None])
+    # ok=0 slots (violator-pass padding) skip everything, compute
+    # included — the violator passes gather 256 slots but typically only
+    # ~140 hold real violators.
+    @pl.when(ok == 1)
+    def _():
+        # G[a, b, c] = sum_oy sum_ox A[a, oy] dy[oy, ox, c] B[b, ox]
+        # Two-stage broadcast-FMA (static slices only — Mosaic lowers 3D
+        # reshapes/dots to unsupported gathers): ~2.2 MFLOP per roi on
+        # the VPU, negligible next to the window DMA.
+        A = a_ref[0]                                   # (win_y, out) f32
+        Bm = b_ref[0]                                  # (win_x, out) f32
+        dy = dy_ref[0].astype(jnp.float32)             # (out, out, C)
+        t = jnp.zeros((win_y, out, c), jnp.float32)    # t[a, ox, c]
+        for oy in range(out):
+            t = t + A[:, oy][:, None, None] * dy[oy][None, :, :]
+        g_win = jnp.zeros((win_y, win_x, c), jnp.float32)
+        for ox in range(out):
+            g_win = g_win + (t[:, ox, :][:, None, :]
+                             * Bm[:, ox][None, :, None])
 
-    for l in range(num_levels):
-        @pl.when((lvl == l) & (ok == 1) & (cls == 0))
-        def _(l=l):
-            dst = outs[l].at[bi, pl.ds(y0, WIN_Y_S), pl.ds(x0, WIN_X_S), :]
-            sub = win.at[:WIN_Y_S, :WIN_X_S, :]
-            cp_in = pltpu.make_async_copy(dst, sub, sem_in)
-            cp_in.start()
-            cp_in.wait()
-            win[:WIN_Y_S, :WIN_X_S, :] = (
-                win[:WIN_Y_S, :WIN_X_S, :].astype(jnp.float32)
-                + g_win[:WIN_Y_S, :WIN_X_S, :]).astype(table_dtype)
-            cp_out = pltpu.make_async_copy(sub, dst, sem_out)
-            cp_out.start()
-            cp_out.wait()
+        for l in range(num_levels):
+            if l in small_levels:
+                @pl.when((lvl == l) & (cls == 0))
+                def _(l=l):
+                    dst = outs[l].at[bi, pl.ds(y0, win_y_s),
+                                     pl.ds(x0, win_x_s), :]
+                    sub = win.at[:win_y_s, :win_x_s, :]
+                    cp_in = pltpu.make_async_copy(dst, sub, sem_in)
+                    cp_in.start()
+                    cp_in.wait()
+                    win[:win_y_s, :win_x_s, :] = (
+                        win[:win_y_s, :win_x_s, :].astype(jnp.float32)
+                        + g_win[:win_y_s, :win_x_s, :]).astype(table_dtype)
+                    cp_out = pltpu.make_async_copy(sub, dst, sem_out)
+                    cp_out.start()
+                    cp_out.wait()
 
-        @pl.when((lvl == l) & (ok == 1) & (cls == 1))
-        def _(l=l):
-            dst = outs[l].at[bi, pl.ds(y0, WIN_Y), pl.ds(x0, WIN_X), :]
-            cp_in = pltpu.make_async_copy(dst, win, sem_in)
-            cp_in.start()
-            cp_in.wait()
-            win[:] = (win[:].astype(jnp.float32) + g_win).astype(table_dtype)
-            cp_out = pltpu.make_async_copy(win, dst, sem_out)
-            cp_out.start()
-            cp_out.wait()
+            if l in full_levels:
+                @pl.when((lvl == l) & (cls == 1))
+                def _(l=l):
+                    dst = outs[l].at[bi, pl.ds(y0, win_y),
+                                     pl.ds(x0, win_x), :]
+                    cp_in = pltpu.make_async_copy(dst, win, sem_in)
+                    cp_in.start()
+                    cp_in.wait()
+                    win[:] = (win[:].astype(jnp.float32)
+                              + g_win).astype(table_dtype)
+                    cp_out = pltpu.make_async_copy(win, dst, sem_out)
+                    cp_out.start()
+                    cp_out.wait()
 
 
-def _fwd_kernel(num_levels, out, out8, c, feat_dtype,
+def _fwd_kernel(num_levels, out, out8, c, feat_dtype, win_y, win_x,
+                win_y_s, win_x_s, small_levels, full_levels,
                 lvl_ref, bi_ref, y0_ref, x0_ref, ok_ref, cls_ref,
                 a_ref, b_ref, *refs):
     """Forward: grid step = one roi; DMA its window in, contract with the
     slot-weight factors, write the (out, out, C) roi features block.
     ``out8`` pads the bin axis to a sublane multiple — Mosaic rejects
-    broadcasts whose leading extent is below the 8-sublane tile."""
+    broadcasts whose leading extent is below the 8-sublane tile.
+    ``small_levels`` / ``full_levels``: static level-index tuples a class
+    may DMA (see _kernel)."""
     feats = refs[:num_levels]
     out_ref = refs[num_levels]
     win = refs[num_levels + 1]
@@ -136,47 +154,59 @@ def _fwd_kernel(num_levels, out, out8, c, feat_dtype,
     out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     for l in range(num_levels):
-        @pl.when((lvl == l) & (ok == 1) & (cls == 0))
-        def _(l=l):
-            src = feats[l].at[bi, pl.ds(y0, WIN_Y_S), pl.ds(x0, WIN_X_S), :]
-            cp = pltpu.make_async_copy(src, win.at[:WIN_Y_S, :WIN_X_S, :],
-                                       sem_in)
-            cp.start()
-            # small-class rois have zero weights beyond the small window,
-            # but stale scratch there can hold NaN bit patterns (0 * NaN
-            # = NaN) — zero the margins (VMEM-only writes, sub-us)
-            win[WIN_Y_S:, :, :] = jnp.zeros(
-                (WIN_Y - WIN_Y_S, WIN_X, win.shape[-1]), win.dtype)
-            win[:WIN_Y_S, WIN_X_S:, :] = jnp.zeros(
-                (WIN_Y_S, WIN_X - WIN_X_S, win.shape[-1]), win.dtype)
-            cp.wait()
+        if l in small_levels:
+            @pl.when((lvl == l) & (ok == 1) & (cls == 0))
+            def _(l=l):
+                src = feats[l].at[bi, pl.ds(y0, win_y_s),
+                                  pl.ds(x0, win_x_s), :]
+                cp = pltpu.make_async_copy(
+                    src, win.at[:win_y_s, :win_x_s, :], sem_in)
+                cp.start()
+                # small-class rois have zero weights beyond the small
+                # window, but stale scratch there can hold NaN bit
+                # patterns (0 * NaN = NaN) — zero the margins (VMEM-only
+                # writes, sub-us)
+                if win_y_s < win_y:
+                    win[win_y_s:, :, :] = jnp.zeros(
+                        (win_y - win_y_s, win_x, win.shape[-1]), win.dtype)
+                if win_x_s < win_x:
+                    win[:win_y_s, win_x_s:, :] = jnp.zeros(
+                        (win_y_s, win_x - win_x_s, win.shape[-1]),
+                        win.dtype)
+                cp.wait()
 
-        @pl.when((lvl == l) & (ok == 1) & (cls == 1))
-        def _(l=l):
-            src = feats[l].at[bi, pl.ds(y0, WIN_Y), pl.ds(x0, WIN_X), :]
-            cp = pltpu.make_async_copy(src, win, sem_in)
-            cp.start()
-            cp.wait()
+        if l in full_levels:
+            @pl.when((lvl == l) & (ok == 1) & (cls == 1))
+            def _(l=l):
+                src = feats[l].at[bi, pl.ds(y0, win_y), pl.ds(x0, win_x), :]
+                cp = pltpu.make_async_copy(src, win, sem_in)
+                cp.start()
+                cp.wait()
 
     @pl.when(ok == 1)
     def _():
-        A = a_ref[0]                               # (WIN_Y, out8)
-        Bm = b_ref[0]                              # (WIN_X, out8)
-        w = win[:].astype(jnp.float32)             # (WIN_Y, WIN_X, C)
+        A = a_ref[0]                               # (win_y, out8)
+        Bm = b_ref[0]                              # (win_x, out8)
+        w = win[:].astype(jnp.float32)             # (win_y, win_x, C)
         # t[b, oy, c] = sum_a A[a, oy] w[a, b, c]
-        t = jnp.zeros((WIN_X, out8, c), jnp.float32)
-        for a in range(WIN_Y):
+        t = jnp.zeros((win_x, out8, c), jnp.float32)
+        for a in range(win_y):
             t = t + A[a][None, :, None] * w[a][:, None, :]
         # o[oy, ox, c] = sum_b Bm[b, ox] t[b, oy, c]
         o = jnp.zeros((out8, out8, c), jnp.float32)
-        for bx in range(WIN_X):
+        for bx in range(win_x):
             o = o + Bm[bx][None, :, None] * t[bx][:, None, :]
         out_ref[0] = o[:out, :out, :].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "out", "interpret", "win_y", "win_x", "win_y_s", "win_x_s",
+    "small_levels", "full_levels"))
 def roi_fwd_window_pallas(feats, meta, A, B, out: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          win_y: int = WIN_Y, win_x: int = WIN_X,
+                          win_y_s: int = WIN_Y_S, win_x_s: int = WIN_X_S,
+                          small_levels=None, full_levels=None):
     """RoIAlign forward as per-roi window DMA + factor contraction.
 
     Replaces the pair-table gather (one table build + 2C-wide gathers per
@@ -185,14 +215,23 @@ def roi_fwd_window_pallas(feats, meta, A, B, out: int,
     the bilinear sum is identical math, reassociated.
 
     Args:
-        feats: list of (B, H_l, W_l, C); meta: 5x (R,) int32
-        (level, batch, y0, x0, ok — ok=0 rois return ZERO rows, callers
-        overwrite them via the exact gather pass).
-        A: (R, WIN_Y, out), B: (R, WIN_X, out) f32.
+        feats: list of (B, H_l, W_l, C); meta: 6x (R,) int32
+        (level, batch, y0, x0, ok, cls — ok=0 rois return ZERO rows,
+        callers overwrite them via the exact gather pass).
+        A: (R, win_y, out), B: (R, win_x, out) f32.
+        win_*: window extents (slots); the default is the main-pass
+        two-class (32, 40)/(16, 24) pair; the violator pass uses
+        (64, 72)/(32, 64).
+        small_levels / full_levels: level indices each class may DMA
+        (default: all levels for both classes).
 
     Returns (R, out, out, C) in the feature dtype.
     """
     num_levels = len(feats)
+    if small_levels is None:
+        small_levels = tuple(range(num_levels))
+    if full_levels is None:
+        full_levels = tuple(range(num_levels))
     r = meta[0].shape[0]
     c = feats[0].shape[-1]
     feat_dtype = feats[0].dtype
@@ -206,18 +245,19 @@ def roi_fwd_window_pallas(feats, meta, A, B, out: int,
         num_scalar_prefetch=6,
         grid=(r,),
         in_specs=(
-            [pl.BlockSpec((1, WIN_Y, out8), lambda i, *m: (i, 0, 0)),
-             pl.BlockSpec((1, WIN_X, out8), lambda i, *m: (i, 0, 0))]
+            [pl.BlockSpec((1, win_y, out8), lambda i, *m: (i, 0, 0)),
+             pl.BlockSpec((1, win_x, out8), lambda i, *m: (i, 0, 0))]
             + [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels
         ),
         out_specs=pl.BlockSpec((1, out, out, c), lambda i, *m: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((WIN_Y, WIN_X, c), feat_dtype),
+            pltpu.VMEM((win_y, win_x, c), feat_dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(_fwd_kernel, num_levels, out, out8, c,
-                               feat_dtype)
+                               feat_dtype, win_y, win_x, win_y_s, win_x_s,
+                               tuple(small_levels), tuple(full_levels))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -227,24 +267,35 @@ def roi_fwd_window_pallas(feats, meta, A, B, out: int,
     )(*meta, A.astype(jnp.float32), B.astype(jnp.float32), *feats)
 
 
-@functools.partial(jax.jit, static_argnames=("out", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "out", "interpret", "win_y", "win_x", "win_y_s", "win_x_s",
+    "small_levels", "full_levels"))
 def roi_bwd_window_pallas(d_feats, meta, dy, A, B, out: int,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          win_y: int = WIN_Y, win_x: int = WIN_X,
+                          win_y_s: int = WIN_Y_S, win_x_s: int = WIN_X_S,
+                          small_levels=None, full_levels=None):
     """Accumulate per-roi window gradients into the level feature grads.
 
     Args:
         d_feats: list of (B, H_l, W_l, C) arrays (the running gradient —
-            aliased in-place). Every H_l >= WIN_Y and W_l >= WIN_X.
+            aliased in-place). Every level a class touches satisfies
+            H_l >= its win_y and W_l >= its win_x (see small_levels).
         meta: 6-tuple of (R,) int32 arrays (level, batch, y0, x0, ok,
             cls) —
             separate 1-D scalar-prefetch operands; a packed (R, 5) array
             would be lane-padded to (R, 128) in SMEM and overflow it.
         dy: (R, out, out, C) upstream grad.
-        A: (R, WIN_Y, out), B: (R, WIN_X, out) f32 slot-weight factors.
+        A: (R, win_y, out), B: (R, win_x, out) f32 slot-weight factors.
+        win_* / small_levels / full_levels: see roi_fwd_window_pallas.
 
     Returns the updated d_feats list.
     """
     num_levels = len(d_feats)
+    if small_levels is None:
+        small_levels = tuple(range(num_levels))
+    if full_levels is None:
+        full_levels = tuple(range(num_levels))
     r = meta[0].shape[0]
     c = dy.shape[-1]
     table_dtype = d_feats[0].dtype
@@ -255,18 +306,20 @@ def roi_bwd_window_pallas(d_feats, meta, dy, A, B, out: int,
         in_specs=(
             [pl.BlockSpec((1, out, out, c),
                           lambda i, *m: (i, 0, 0, 0)),
-             pl.BlockSpec((1, WIN_Y, out), lambda i, *m: (i, 0, 0)),
-             pl.BlockSpec((1, WIN_X, out), lambda i, *m: (i, 0, 0))]
+             pl.BlockSpec((1, win_y, out), lambda i, *m: (i, 0, 0)),
+             pl.BlockSpec((1, win_x, out), lambda i, *m: (i, 0, 0))]
             + [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels
         ),
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels,
         scratch_shapes=[
-            pltpu.VMEM((WIN_Y, WIN_X, c), table_dtype),
+            pltpu.VMEM((win_y, win_x, c), table_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_kernel, num_levels, out, c, table_dtype)
+    kernel = functools.partial(_kernel, num_levels, out, c, table_dtype,
+                               win_y, win_x, win_y_s, win_x_s,
+                               tuple(small_levels), tuple(full_levels))
     # inputs: [lvl, bi, y0, x0, ok, cls, dy, A, B, feats...]
     aliases = {9 + l: l for l in range(num_levels)}
     return pl.pallas_call(

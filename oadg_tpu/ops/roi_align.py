@@ -317,8 +317,10 @@ def _roi_align_exact_small(feats, rois, output_size, featmap_strides,
     (sum_l B*H_l*W_l, 2C) table — a ~1.4 GB materialization (~10 ms/step
     at flagship shapes) that is absurd for the <=256-roi violator passes.
     Four corner gathers per level on each level's own flat view (free
-    reshape, no copy) cost only O(V * taps * C). Bit-identical math to
-    the chunked impl: same tap geometry, same corner weights."""
+    reshape, no copy) cost only O(V * taps * C). Same tap geometry and
+    corner weights as the chunked impl, reassociated (numerically
+    equivalent, not bit-equal: this sums four precomputed weight
+    products where the chunked impl nests lerps)."""
     out = output_size
     sr = max(int(sampling_ratio), 1)
     num_levels = len(feats)
@@ -381,6 +383,13 @@ def _roi_align_forward(feats, rois, output_size, featmap_strides,
                                 interpret=(platform != "tpu"))
     res = res.astype(jnp.float32)
 
+    # big-window pallas pass for <=256 compacted violators (~3.5% of
+    # proposals) — leaves only span>=64 fine-level rois (<0.1%) to the
+    # exact gather loop below, which then usually runs ZERO iterations.
+    res, remaining = _violator_fwd_pass(
+        feats, rois, res, ~compact, out, featmap_strides,
+        finest_scale, sampling_ratio, hs, ws, level_off, shapes, platform)
+
     # exact gather pass for the leftovers (bounded, looped)
     r = rois.shape[0]
     V = min(256, r)
@@ -398,7 +407,7 @@ def _roi_align_forward(feats, rois, output_size, featmap_strides,
         return acc, mask & ~jnp.zeros_like(mask).at[idx].set(sel)
 
     res, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), body,
-                                (res, ~compact))
+                                (res, remaining))
     return res
 
 
@@ -548,6 +557,119 @@ def _window_meta(rois, out, featmap_strides, finest_scale, sampling_ratio,
     return Wy, Wx, meta, compact, fit_levels
 
 
+# Violator-pass window classes (the ~3.5% of rois whose corner span
+# exceeds the main-pass 32-slot window are EXTREME-ASPECT boxes — under
+# the FPN area mapping w_px*h_px < 784 at a roi's own level, so a wide
+# span on one axis forces a small span on the other; measured at flagship
+# shapes: max y span 57, 99.9%-ile x span 114 of max 156
+# [probe_roi_windows.py]):
+#  - pass A "tall+coarse": (64, 64) full window (y span < 64, x < ~57)
+#    with a (32, 64) small class that covers WHOLE coarse levels (e.g.
+#    the 32x64 stride-32 level at 1024x2048 — any roi there fits).
+#  - pass B "wide": (32, 128) single class (x span < ~121, y < 32).
+# Rois fitting neither (x span > ~121 on a fine level — O(1) per ~10
+# steps) take the exact tap/gather pass.
+_VA_WIN = (64, 64)
+_VA_WIN_S = (32, 64)
+_VB_WIN = (32, 128)
+
+
+def _violator_window_meta(rois, out, featmap_strides, finest_scale,
+                          sampling_ratio, hs, ws, level_off, shapes):
+    """Geometry for BOTH violator window passes on a gathered roi subset.
+
+    Returns (passA, passB, compact) where each pass is ``None`` (no
+    level fits its windows) or a dict with Wy/Wx/meta/handled/fit_levels/
+    small_levels/full_levels ready for the pallas kernels; ``compact``
+    marks rois covered by at least one pass."""
+    geo = {}
+    for wy, wx in (_VA_WIN_S, _VA_WIN, _VB_WIN):
+        geo[(wy, wx)] = _ml_window_geometry(
+            rois, out, featmap_strides, finest_scale, sampling_ratio,
+            hs, ws, level_off, clamp_to_grid=True, win_y=wy, win_x=wx)
+
+    def fits(wy, wx):
+        return [sh[0][1] >= wy and sh[0][2] >= wx for sh in shapes]
+
+    lvl = geo[_VA_WIN][2]
+
+    def build(win, win_s, prev_handled, single_class=False):
+        fS = fits(*win_s)
+        fF = fits(*win)
+        fit_levels = [i for i in range(len(shapes)) if fS[i] or fF[i]]
+        if not fit_levels:
+            return None, prev_handled
+        lvl_remap = np.zeros(len(shapes), np.int32)
+        small_levels, full_levels = [], []
+        for j, i in enumerate(fit_levels):
+            lvl_remap[i] = j
+            if fS[i] and not single_class:
+                small_levels.append(j)
+            if fF[i]:
+                full_levels.append(j)
+        WyS, WxS, _, bidx, byS, bxS, _, _, cS = geo[win_s]
+        WyF, WxF, _, _, byF, bxF, _, _, cF = geo[win]
+        small = cS & jnp.asarray(fS)[lvl] & ~prev_handled
+        if single_class:
+            small = jnp.zeros_like(small)
+        full = cF & jnp.asarray(fF)[lvl] & ~small & ~prev_handled
+        handled = small | full
+        pady, padx = win[0] - win_s[0], win[1] - win_s[1]
+        Wy = jnp.where(small[:, None, None],
+                       jnp.pad(WyS, ((0, 0), (0, pady), (0, 0))), WyF)
+        Wx = jnp.where(small[:, None, None],
+                       jnp.pad(WxS, ((0, 0), (0, padx), (0, 0))), WxF)
+        meta = (jnp.asarray(lvl_remap)[lvl].astype(jnp.int32), bidx,
+                jnp.where(small, byS, byF), jnp.where(small, bxS, bxF),
+                handled.astype(jnp.int32), (~small).astype(jnp.int32))
+        return (dict(Wy=Wy, Wx=Wx, meta=meta, handled=handled, win=win,
+                     win_s=win_s, fit_levels=fit_levels,
+                     small_levels=tuple(small_levels),
+                     full_levels=tuple(full_levels)),
+                prev_handled | handled)
+
+    none = jnp.zeros((rois.shape[0],), bool)
+    passA, covered = build(_VA_WIN, _VA_WIN_S, none)
+    # pass B is single-class: the full (32, 128) window only
+    passB, covered = build(_VB_WIN, _VB_WIN, covered, single_class=True)
+    return passA, passB, covered
+
+
+def _violator_fwd_pass(feats, rois, res, viol, out,
+                       featmap_strides, finest_scale, sampling_ratio,
+                       hs, ws, level_off, shapes, platform):
+    """Run the big-window pallas passes over <=256 compacted violators.
+
+    Returns (res, remaining) where ``remaining`` marks rois still
+    unhandled (x span > ~121 on a fine level — routed to the exact
+    pass, which then usually runs zero iterations)."""
+    from .pallas_roi_bwd import roi_fwd_window_pallas
+    r = rois.shape[0]
+    V = min(256, r)
+    _, vidx = jax.lax.top_k(viol.astype(jnp.float32), V)
+    vsel = viol[vidx]
+    passA, passB, covered = _violator_window_meta(
+        rois[vidx], out, featmap_strides, finest_scale, sampling_ratio,
+        hs, ws, level_off, shapes)
+    handled_any = jnp.zeros_like(vsel)
+    for p in (passA, passB):
+        if p is None:
+            continue
+        handled = p["handled"] & vsel
+        meta = p["meta"][:4] + (handled.astype(jnp.int32), p["meta"][5])
+        sub = roi_fwd_window_pallas(
+            [feats[i] for i in p["fit_levels"]], meta, p["Wy"], p["Wx"],
+            out, win_y=p["win"][0], win_x=p["win"][1],
+            win_y_s=p["win_s"][0], win_x_s=p["win_s"][1],
+            small_levels=p["small_levels"], full_levels=p["full_levels"],
+            interpret=(platform != "tpu")).astype(res.dtype)
+        res = res.at[vidx].set(
+            jnp.where(handled[:, None, None, None], sub, res[vidx]))
+        handled_any = handled_any | handled
+    remaining = viol & ~jnp.zeros_like(viol).at[vidx].set(handled_any)
+    return res, remaining
+
+
 def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
             chunk, residuals, g):
     rois, feats = residuals
@@ -613,11 +735,23 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
             hs, ws, level_off, shapes)
         d_table = jnp.zeros((n_rows, c), acc_dt)
         viol = ~compact
-        # violators are ~3.5% of proposals (probe_roi_windows.py); 256
-        # covers a flagship batch in one pass — the while loop absorbs
-        # pathological batches. V=512 made the tap scatter process 2x the
-        # update rows it needed (~18 ms/step -> ~9).
+        # violators are ~3.5% of proposals (probe_roi_windows.py); the
+        # big-window pallas RMW passes (tall+coarse / wide classes, see
+        # _violator_window_meta) over <=256 compacted violator slots
+        # handle essentially all of them, so the exact tap-scatter loop
+        # below (the old ~9 ms/step violator path) usually runs ZERO
+        # iterations.
         V = min(256, r)
+        _, vidx = jax.lax.top_k(viol.astype(jnp.float32), V)
+        vsel = viol[vidx]
+        passA, passB, _ = _violator_window_meta(
+            rois[vidx], out, featmap_strides, finest_scale,
+            sampling_ratio, hs, ws, level_off, shapes)
+        handled_any = jnp.zeros_like(vsel)
+        for p in (passA, passB):
+            if p is not None:
+                handled_any = handled_any | (p["handled"] & vsel)
+        remaining = viol & ~jnp.zeros_like(viol).at[vidx].set(handled_any)
 
         def any_viol_body(state):
             tbl, mask = state
@@ -628,13 +762,30 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
             return tbl, mask & ~jnp.zeros_like(mask).at[idx].set(sel)
 
         d_table, _ = jax.lax.while_loop(
-            lambda s: jnp.any(s[1]), any_viol_body, (d_table, viol))
+            lambda s: jnp.any(s[1]), any_viol_body, (d_table, remaining))
         d_feats = []
         start = 0
         for (shape, dt) in shapes:
             cnt = int(np.prod(shape[:3]))
             d_feats.append(d_table[start:start + cnt].reshape(shape))
             start += cnt
+        gv = g.astype(acc_dt)[vidx]
+        for p in (passA, passB):
+            if p is None:
+                continue
+            handled = p["handled"] & vsel
+            metaV = p["meta"][:4] + (handled.astype(jnp.int32),
+                                     p["meta"][5])
+            sub = roi_bwd_window_pallas(
+                [d_feats[i] for i in p["fit_levels"]], metaV, gv,
+                p["Wy"], p["Wx"], out,
+                win_y=p["win"][0], win_x=p["win"][1],
+                win_y_s=p["win_s"][0], win_x_s=p["win_s"][1],
+                small_levels=p["small_levels"],
+                full_levels=p["full_levels"],
+                interpret=(platform != "tpu"))
+            for j, i in enumerate(p["fit_levels"]):
+                d_feats[i] = sub[j]
         if fit_levels:
             sub = roi_bwd_window_pallas(
                 [d_feats[i] for i in fit_levels], meta, g.astype(acc_dt),

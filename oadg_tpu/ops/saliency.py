@@ -64,6 +64,8 @@ def crop_resize_gray(img: jnp.ndarray, box: jnp.ndarray,
     # gathers from the 8 MB image (measured ~11 ms/step across the 4 taps
     # in the flagship bench). Row gathers read contiguous (1, W) slices;
     # the column step then gathers (1, 64) slices from a 512 KB operand.
+    # NOTE: lerping v before u reassociates vs the old 2D-gather version
+    # (numerically equivalent, not bit-equal — golden parity passes).
     r0 = gray[v0i, :]                                            # (64, W)
     r1 = gray[v1i, :]
     rows = r0 * (1 - fv_v)[:, None] + r1 * fv_v[:, None]         # (64, W)

@@ -297,11 +297,30 @@ def orbax_restore(path: str):
 
 
 def load_checkpoint_variables(path: str) -> Dict:
-    """Load Orbax dir / torch .pth into a {params, batch_stats} tree."""
+    """Load a checkpoint spec into a {params, batch_stats} tree.
+
+    Accepts Orbax dirs, torch ``.pth`` files, http(s)/file URLs and
+    mmcv-style ``open-mmlab://`` / ``torchvision://`` aliases (resolved
+    and download-cached via utils/model_zoo.py — reference parity:
+    mmcv load_checkpoint, used by e.g. the DWD flagship recipe's
+    ``open-mmlab://detectron2/resnet101_caffe`` backbone init).
+
+    Bare classification checkpoints (keys like ``conv1.weight``,
+    ``layer1.0.*`` with no detector section prefix) are treated as
+    backbone weights, matching mmcv's Pretrained-init semantics.
+    """
+    from .model_zoo import resolve_checkpoint
+    path = resolve_checkpoint(path)
     if os.path.isdir(path):
         state = orbax_restore(path)
         return {"params": state["params"],
                 "batch_stats": state.get("batch_stats")}
     ckpt = load_torch_pth(path)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sections = ("backbone.", "neck.", "rpn_head.", "roi_head.",
+                "bbox_head.", "mask_head.")
+    if isinstance(sd, dict) and sd and not any(
+            str(k).startswith(sections) for k in sd):
+        sd = {f"backbone.{k}": v for k, v in sd.items()
+              if not str(k).startswith(("fc.", "head."))}
     return convert_torch_state_dict(sd)

@@ -133,15 +133,62 @@ SUBPROC_TRAIN = textwrap.dedent("""
     jax.block_until_ready(log_vars)
     total = float(log_vars["loss"])
     assert np.isfinite(total), log_vars
-    print("proc %d: TRAINLOSS=%.6f OK" % (pid, total))
+    # post-step parameter fingerprint: mean of per-leaf means (a fully
+    # replicated scalar every process can read) — lets the parent assert
+    # the distributed update EQUALS the single-process update on the
+    # same global batch, not merely that ranks agree with each other.
+    leaves = jax.tree_util.tree_leaves(params)
+    phash = float(jax.jit(lambda ls: sum(jnp.mean(l.astype(jnp.float32))
+                                         for l in ls))(leaves))
+    print("proc %d: TRAINLOSS=%.9e PHASH=%.9e OK" % (pid, total, phash))
 """)
+
+
+def _single_process_reference_step():
+    """The same train step the 2-process workers run, on a single-process
+    8-virtual-device mesh with the identical global batch and seeds.
+    Returns (loss, params_fingerprint)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_model_cfg, _train_batch
+    from oadg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from oadg_tpu.engine.train_step import make_train_step
+    from oadg_tpu.models import build_detector
+    from oadg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    cfg, model = _flagship_model_cfg(tiny=True)
+    det = build_detector(model, num_views=int(cfg.get("num_views", 2)))
+    mesh = make_mesh(n_data=8)
+    full = _train_batch(8, 128, 128)
+    variables = jax.jit(lambda rngs, b: det.init(rngs, b, "train"))(
+        {"params": jax.random.PRNGKey(0),
+         "sampling": jax.random.PRNGKey(1)}, full)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    sched = build_lr_schedule(cfg.get("lr_config"), cfg.optimizer["lr"], 100)
+    tx = build_optimizer(params, cfg.optimizer, sched, model_cfg=model)
+    opt_state = tx.init(params)
+    step = make_train_step(det, tx, mesh=mesh, donate=False)
+    params = replicate(params, mesh)
+    batch_stats = replicate(batch_stats, mesh) if batch_stats else None
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(full, mesh)
+    params, batch_stats, opt_state, log_vars = step(
+        params, batch_stats, opt_state, batch, jax.random.PRNGKey(2))
+    leaves = jax.tree_util.tree_leaves(params)
+    phash = float(jax.jit(lambda ls: sum(jnp.mean(l.astype(jnp.float32))
+                                         for l in ls))(leaves))
+    return float(log_vars["loss"]), phash
 
 
 @pytest.mark.slow
 def test_two_process_train_step(tmp_path):
     """One REAL OA-DG train step across 2 jax.distributed processes
     (reference analog: DDP train iteration, mmdet/apis/train.py:113-121).
-    Both processes must agree on the global psum-reduced loss."""
+    Both processes must agree on the global psum-reduced loss AND match
+    the single-process step on the identical global batch (loss + post-
+    step params fingerprint) — a wrong collective cannot hide behind
+    cross-rank agreement."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker_train.py"
     script.write_text(SUBPROC_TRAIN.format(repo=repo))
@@ -154,16 +201,25 @@ def test_two_process_train_step(tmp_path):
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, env=env)
              for i in range(2)]
+    # single-process reference on the same global batch, computed while
+    # the workers run
+    ref_loss, ref_phash = _single_process_reference_step()
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out.decode())
-    losses = []
+    losses, phashes = [], []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert "OK" in out
         losses.append(float(out.split("TRAINLOSS=")[1].split(" ")[0]))
+        phashes.append(float(out.split("PHASH=")[1].split(" ")[0]))
     assert losses[0] == losses[1], losses
+    assert phashes[0] == phashes[1], phashes
+    # vs single-process: identical math modulo collective reassociation
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(phashes[0], ref_phash, rtol=1e-5,
+                               atol=1e-7)
 
 
 @pytest.mark.slow

@@ -89,3 +89,65 @@ def test_small_levels_fall_back(monkeypatch):
         sampling_ratio=2, finest_scale=56, chunk=256))(feats)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_violator_window_passes(monkeypatch):
+    """Extreme-aspect rois are handled by the big-window violator passes
+    (tall+coarse (64,64)/(32,64) and wide (32,128) — ops/roi_align.py
+    _violator_window_meta) and bit-match the exact XLA path; rois beyond
+    both windows still fall through to the exact gather pass."""
+    from oadg_tpu.ops.roi_align import (_violator_window_meta,
+                                        map_roi_levels)
+    rng = np.random.RandomState(7)
+    feats = [jnp.asarray(rng.rand(1, 64, 160, 8).astype(np.float32)),
+             jnp.asarray(rng.rand(1, 32, 80, 8).astype(np.float32))]
+    rois = jnp.asarray(np.array([
+        [0, 20, 10, 50, 240],      # tall: y span ~54 -> pass A full
+        [0, 0, 40, 400, 60],       # wide: x span ~94 -> pass B
+        [0, 10, 10, 40, 40],       # compact (main pass)
+        [0, 0, 0, 620, 80],        # level-1 x span ~72 -> exact fallback
+    ], np.float32))
+
+    hs = np.array([f.shape[1] for f in feats])
+    ws = np.array([f.shape[2] for f in feats])
+    level_off = np.concatenate([[0], np.cumsum(1 * hs * ws)[:-1]])
+    shapes = [(f.shape, f.dtype) for f in feats]
+    passA, passB, covered = _violator_window_meta(
+        rois, 7, (4, 8), 56, 2, hs, ws, level_off, shapes)
+    assert passA is not None and passB is not None
+    ha = np.asarray(passA["handled"])
+    hb = np.asarray(passB["handled"])
+    assert ha[0] and not hb[0]          # tall -> A
+    assert hb[1] and not ha[1]          # wide -> B
+    assert not np.asarray(covered)[3]   # beyond both -> exact
+
+    monkeypatch.setenv("OADG_ROI_FWD", "pallas")
+    monkeypatch.setenv("OADG_ROI_BWD", "pallas")
+    got = jax.jit(lambda fs: _roi_align_forward(
+        fs, rois, 7, (4, 8), 2, 56, 256))(feats)
+    monkeypatch.setenv("OADG_ROI_FWD", "impl")
+    want = jax.jit(lambda fs: _roi_align_multilevel_impl(
+        fs, rois, output_size=7, featmap_strides=(4, 8),
+        sampling_ratio=2, finest_scale=56, chunk=256))(feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    g_out = jnp.asarray(rng.rand(4, 7, 7, 8).astype(np.float32))
+
+    def loss_custom(fs):
+        return jnp.sum(roi_align_multilevel(fs, rois, 7, (4, 8), 2, 56) *
+                       g_out)
+
+    def loss_auto(fs):
+        return jnp.sum(_roi_align_multilevel_impl(
+            fs, rois, output_size=7, featmap_strides=(4, 8),
+            sampling_ratio=2, finest_scale=56, chunk=256) * g_out)
+
+    monkeypatch.setenv("OADG_ROI_BWD", "pallas")
+    gc = jax.grad(loss_custom)(list(feats))
+    ga = jax.grad(loss_auto)(list(feats))
+    # atol 1e-5 (not the main-pass 2e-6): the wide (32,128) window's
+    # factor contraction reassociates ~128-long f32 sums
+    for a, b in zip(gc, ga):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
