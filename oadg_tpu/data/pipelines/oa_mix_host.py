@@ -107,37 +107,47 @@ def _pil(img):
     return Image.fromarray(np.asarray(img, np.uint8), "RGB")
 
 
-def _photo(img, name, severity):
+def _photo(img, name, severity, level=None):
     p = _pil(img)
     if name == "autocontrast":
         return np.asarray(ImageOps.autocontrast(p))
     if name == "equalize":
         return np.asarray(ImageOps.equalize(p))
     if name == "posterize":
-        bits = 4 - int(_sample_level(severity) * 4 / 10)
+        lvl = _sample_level(severity) if level is None else level
+        bits = 4 - int(lvl * 4 / 10)
         return np.asarray(ImageOps.posterize(p, max(bits, 1)))
     if name == "solarize":
-        thr = 256 - int(_sample_level(severity) * 256 / 10)
+        lvl = _sample_level(severity) if level is None else level
+        thr = 256 - int(lvl * 256 / 10)
         return np.asarray(ImageOps.solarize(p, thr))
     if name == "invert":
         return np.asarray(ImageOps.invert(p))
     enh = {"color": ImageEnhance.Color, "contrast": ImageEnhance.Contrast,
            "brightness": ImageEnhance.Brightness,
            "sharpness": ImageEnhance.Sharpness}[name]
-    f = float(_sample_level(severity)) * 1.8 / 10 + 0.1
+    lvl = _sample_level(severity) if level is None else level
+    f = float(lvl) * 1.8 / 10 + 0.1
     return np.asarray(enh(p).enhance(f))
 
 
-def _geo_matrix(name, severity, center, size_for_level, img_size):
-    """Forward cv2 matrix for one geometric family draw."""
+def _geo_matrix(name, severity, center, size_for_level, img_size,
+                level=None, sign=None):
+    """Forward cv2 matrix for one geometric family draw. ``level``/
+    ``sign`` inject the two np.random draws (shared-draw-table parity
+    tests); None keeps the reference RNG stream untouched."""
     if name == "rotate":
-        deg = int(_sample_level(severity) * 30 / 10)
-        if np.random.uniform() > 0.5:
+        lvl = _sample_level(severity) if level is None else level
+        deg = int(lvl * 30 / 10)
+        neg = (np.random.uniform() > 0.5) if sign is None else (sign < 0)
+        if neg:
             deg = -deg
         return cv2.getRotationMatrix2D(center, deg, 1.0)
     if name.startswith("shear"):
-        s = float(_sample_level(severity)) * 0.3 / 10
-        if np.random.uniform() > 0.5:
+        lvl = _sample_level(severity) if level is None else level
+        s = float(lvl) * 0.3 / 10
+        neg = (np.random.uniform() > 0.5) if sign is None else (sign < 0)
+        if neg:
             s = -s
         if name == "shear_x":
             tx = 0.0 if center is None else -s * center[1]
@@ -146,53 +156,63 @@ def _geo_matrix(name, severity, center, size_for_level, img_size):
         return np.float32([[1, 0, 0], [-s, 1, -ty]])
     # translate
     maxval = size_for_level[0] if name == "translate_x" else size_for_level[1]
-    t = int(_sample_level(severity) * (maxval / 3) / 10)
-    if np.random.random() > 0.5:
+    lvl = _sample_level(severity) if level is None else level
+    t = int(lvl * (maxval / 3) / 10)
+    neg = (np.random.random() > 0.5) if sign is None else (sign < 0)
+    if neg:
         t = -t
     if name == "translate_x":
         return np.float32([[1, 0, -t], [0, 1, 0]])
     return np.float32([[1, 0, 0], [0, 1, -t]])
 
 
-def _pick_family(name):
+def _pick_family(name, coin=None):
     """Draw the x/y coin ONLY for the xy families — an eager dict literal
     here consumed np.random draws for the unselected families too,
     desynchronizing the RNG stream from the reference (caught by the
-    golden parity test)."""
+    golden parity test). ``coin`` injects the draw (< 0.5 -> x)."""
     if name == "rotate":
         return "rotate"
     if name == "shear_xy":
-        return "shear_x" if np.random.rand() < 0.5 else "shear_y"
-    return "translate_x" if np.random.rand() < 0.5 else "translate_y"
+        c = np.random.rand() if coin is None else coin
+        return "shear_x" if c < 0.5 else "shear_y"
+    c = np.random.rand() if coin is None else coin
+    return "translate_x" if c < 0.5 else "translate_y"
 
 
-def _bboxes_only(img, name, severity, fg_boxes, fg_masks):
+def _bboxes_only(img, name, severity, fg_boxes, fg_masks, levels=None,
+                 signs=None, coin=None):
     """Per-box warp blended by blurred masks (bbox_augmentation.py:31-88).
     The blend requantizes to uint8 after EVERY box like the reference
     (each _apply_bbox_only_augmentation call returns uint8) — float
-    accumulation here drifted the composed golden test by +-1 per box."""
+    accumulation here drifted the composed golden test by +-1 per box.
+    ``levels``/``signs`` are per-box injected draws."""
     out = np.asarray(img, np.uint8)
     h, w = out.shape[:2]
-    fam = _pick_family(name)
-    for box, mask in zip(fg_boxes, fg_masks):
+    fam = _pick_family(name, coin)
+    for bi, (box, mask) in enumerate(zip(fg_boxes, fg_masks)):
         x1, y1, x2, y2 = [int(v) for v in box]
         if x2 - x1 < 1 or y2 - y1 < 1:
             continue
         center = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
         m = _geo_matrix(fam, severity, center, (x2 - x1 + 1, y2 - y1 + 1),
-                        (w, h))
+                        (w, h),
+                        level=None if levels is None else levels[bi],
+                        sign=None if signs is None else signs[bi])
         warped = cv2.warpAffine(out, m, (w, h))
         out = np.asarray(out * (1.0 - mask) + warped * mask, np.uint8)
     return out
 
 
-def _bg_only(img, name, severity, fg_masks):
+def _bg_only(img, name, severity, fg_masks, level=None, sign=None,
+             coin=None):
     """Global warp with fg regions preserved (bbox_augmentation.py:240-272)."""
     arr = np.asarray(img, np.uint8)
     h, w = arr.shape[:2]
-    fam = _pick_family(name)
+    fam = _pick_family(name, coin)
     center = (w / 2.0, h / 2.0) if fam == "rotate" else None
-    m = _geo_matrix(fam, severity, center, (w, h), (w, h))
+    m = _geo_matrix(fam, severity, center, (w, h), (w, h),
+                    level=level, sign=sign)
     mask = (np.max(fg_masks, axis=0) if len(fg_masks)
             else np.zeros_like(arr, np.float32))
     warped = cv2.warpAffine(arr, m, (w, h)).astype(np.float32)
@@ -210,22 +230,46 @@ _AUG_OPS_ALL = (["autocontrast", "equalize", "posterize", "solarize",
                 + _AUG_OPS[4:])
 
 
-def _aug(img, severity, version, fg_boxes, fg_masks):
+def _aug(img, severity, version, fg_boxes, fg_masks, draw=None):
+    """One reference aug() call. ``draw`` (shared-draw-table mode) is a
+    dict {op: int, level/levels, sign/signs, coin} replacing every
+    np.random draw this call would make; None keeps the reference RNG
+    stream."""
     ops = _AUG_OPS_ALL if version == "augmix.all" else _AUG_OPS
-    op = ops[np.random.randint(len(ops))]
+    if draw is None:
+        op = ops[np.random.randint(len(ops))]
+        lv = sg = cn = None
+        lvs = sgs = None
+    else:
+        op = ops[int(draw["op"])]
+        lvs = draw.get("levels")
+        sgs = draw.get("signs")
+        lv = draw.get("level", None if lvs is None else float(lvs[0]))
+        sg = draw.get("sign", None if sgs is None else float(sgs[0]))
+        cn = draw.get("coin")
     if op.startswith("bboxes:"):
         return _bboxes_only(img, op.split(":")[1], severity, fg_boxes,
-                            fg_masks)
+                            fg_masks, levels=lvs, signs=sgs, coin=cn)
     if op.startswith("bg:"):
-        return _bg_only(img, op.split(":")[1], severity, fg_masks)
-    return _photo(img, op, severity)
+        return _bg_only(img, op.split(":")[1], severity, fg_masks,
+                        level=lv, sign=sg, coin=cn)
+    return _photo(img, op, severity, level=lv)
 
 
 # ---------------------------------------------------------------- oamix ----
 
 def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
-               history: Optional[Dict] = None) -> np.ndarray:
-    """One augmented view (reference OAMix.oamix, oa_mix.py:207-243)."""
+               history: Optional[Dict] = None,
+               draws: Optional[Dict] = None) -> np.ndarray:
+    """One augmented view (reference OAMix.oamix, oa_mix.py:207-243).
+
+    ``draws`` (shared-draw-table mode, tests/test_oamix_quantization.py):
+    a dict replacing EVERY np.random draw with pinned values so the
+    device kernel (ops/oamix_device.py oamix_batch draws=...) and this
+    oracle compose the identical augmentation — keys: ws, ml_boxes,
+    depth (width,), op (width, depth, slots) dicts, fg_scores, oa_boxes,
+    mix_us, m_global. None keeps the reference RNG stream untouched
+    (the golden parity suite depends on that)."""
     img = np.asarray(img, np.uint8)
     h, w = img.shape[:2]
     severity = float(cfg.get("severity", 10))
@@ -237,11 +281,15 @@ def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
     score_thresh = float(cfg.get("score_thresh", 10))
     history = history if history is not None else {}
 
-    ws = np.float32(np.random.dirichlet([1.0] * width))
-    rand_boxes = _random_regions(img.shape,
-                                 cfg.get("random_box_scale", (0.01, 0.1)),
-                                 cfg.get("random_box_ratio", (3, 1 / 3)),
-                                 num_bboxes=(1, 3))
+    if draws is not None:
+        ws = np.float32(draws["ws"])
+        rand_boxes = [np.asarray(b, np.float32)
+                      for b in draws["ml_boxes"]]
+    else:
+        ws = np.float32(np.random.dirichlet([1.0] * width))
+        rand_boxes = _random_regions(
+            img.shape, cfg.get("random_box_scale", (0.01, 0.1)),
+            cfg.get("random_box_ratio", (3, 1 / 3)), num_bboxes=(1, 3))
     # multilevel region masks are HARD (reference oamix() calls
     # get_random_regions without use_blur)
     rand_masks = [_hard_mask(b, img.shape) for b in rand_boxes]
@@ -253,9 +301,11 @@ def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
         fg_scores = history["fg_score_list"]
     else:
         fg_masks, fg_scores = [], []
-        for box in gt_bboxes:
+        for bi, box in enumerate(gt_bboxes):
             x1, y1, x2, y2 = np.asarray(box, np.int32)
-            if x2 - x1 < spatial_ratio or y2 - y1 < spatial_ratio:
+            if draws is not None:
+                fg_scores.append(float(draws["fg_scores"][bi]))
+            elif x2 - x1 < spatial_ratio or y2 - y1 < spatial_ratio:
                 fg_scores.append(-1.0)
             else:
                 fg_scores.append(_spectral_saliency_score(img[y1:y2, x1:x2]))
@@ -267,29 +317,37 @@ def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
     # chain-and-mix
     img_oamix = np.zeros_like(img, np.float32)
     for i in range(width):
-        depth = depth_cfg if depth_cfg > 0 else np.random.randint(1, 4)
+        if draws is not None:
+            depth = int(draws["depth"][i])
+        else:
+            depth = depth_cfg if depth_cfg > 0 else np.random.randint(1, 4)
         img_aug = img.copy()
-        for _ in range(depth):
+        for d in range(depth):
             tmp = np.zeros_like(img, np.float32)
-            for mask in rand_masks:
+            for si, mask in enumerate(rand_masks):
+                dr = draws["op"][i][d][si] if draws is not None else None
                 tmp += mask * _aug(img_aug, severity, version,
-                                   gt_bboxes, fg_masks)
+                                   gt_bboxes, fg_masks, draw=dr)
             union = (np.max(rand_masks, axis=0) if rand_masks
                      else np.zeros_like(img, np.float32))
+            dr = (draws["op"][i][d][len(rand_masks)]
+                  if draws is not None else None)
             img_aug = np.asarray(np.clip(
                 tmp + (1.0 - union) * _aug(img_aug, severity, version,
-                                           gt_bboxes, fg_masks), 0, 255),
-                np.uint8)
+                                           gt_bboxes, fg_masks, draw=dr),
+                0, 255), np.uint8)
         img_oamix += ws[i] * img_aug.astype(np.float32)
 
     # object-aware mixing regions
     oa_targets = [(b, m, s) for b, m, s in zip(gt_bboxes, fg_masks, fg_scores)
                   if s <= score_thresh]
-    n_oa = min(max(len(oa_targets), 1), 5)
-    oa_boxes = _random_regions(img.shape,
-                               cfg.get("oa_random_box_scale", (0.005, 0.1)),
-                               cfg.get("oa_random_box_ratio", (3, 1 / 3)),
-                               num_bboxes=n_oa)
+    if draws is not None:
+        oa_boxes = [np.asarray(b, np.float32) for b in draws["oa_boxes"]]
+    else:
+        n_oa = min(max(len(oa_targets), 1), 5)
+        oa_boxes = _random_regions(
+            img.shape, cfg.get("oa_random_box_scale", (0.005, 0.1)),
+            cfg.get("oa_random_box_ratio", (3, 1 / 3)), num_bboxes=n_oa)
     history["oa_random_box_list"] = (np.stack(oa_boxes)
                                      if oa_boxes else np.zeros((0, 4)))
     for b in oa_boxes:
@@ -303,26 +361,39 @@ def oamix_host(img: np.ndarray, gt_bboxes: np.ndarray, cfg: Dict,
     return np.asarray(object_aware_mixing(
         img.astype(np.float32), img_oamix,
         [m for _, m, _ in oa_targets], [s for _, _, s in oa_targets],
-        score_thresh), np.uint8)
+        score_thresh,
+        mix_us=None if draws is None else draws["mix_us"],
+        m_global=None if draws is None else draws["m_global"]), np.uint8)
 
 
 def object_aware_mixing(img, img_aug, mask_list, score_list,
-                        score_thresh: float = 10.0):
+                        score_thresh: float = 10.0, mix_us=None,
+                        m_global=None):
     """Sequential overlap-corrected accumulation (reference
     oa_mix.py:281-308 object_aware_mixing) — standalone so the golden
-    parity test can drive it with pinned masks/scores."""
-    m_global = np.float32(np.random.beta(1.0, 1.0))
+    parity test can drive it with pinned masks/scores. ``mix_us`` /
+    ``m_global`` inject the per-region U(0,1) and Beta(1,1) draws
+    (shared-draw-table mode): m_oa = u*0.5 for low-score regions else u,
+    the same transform the device kernel applies."""
+    if m_global is None:
+        m_global = np.float32(np.random.beta(1.0, 1.0))
+    m_global = np.float32(m_global)
     orig = np.zeros_like(img, np.float32)
     aug = np.zeros_like(img, np.float32)
     mask_sum = np.zeros_like(img, np.float32)
     mask_stack: List[np.ndarray] = []
-    for mask, score in zip(mask_list, score_list):
+    for ri, (mask, score) in enumerate(zip(mask_list, score_list)):
         mask_sum = mask_sum + mask
         mask_stack.append(mask)
         mask_max = np.max(mask_stack, axis=0)
         overlap = mask_sum - mask_max
-        m_oa = np.float32(np.random.uniform(0.0, 0.5) if score <= score_thresh
-                          else np.random.uniform(0.0, 1.0))
+        if mix_us is not None:
+            u = np.float32(mix_us[ri])
+            m_oa = u * np.float32(0.5) if score <= score_thresh else u
+        else:
+            m_oa = np.float32(
+                np.random.uniform(0.0, 0.5) if score <= score_thresh
+                else np.random.uniform(0.0, 1.0))
         orig += (1.0 - m_oa) * img * (mask - overlap * 0.5)
         aug += m_oa * img_aug * (mask - overlap * 0.5)
         mask_sum = mask_max

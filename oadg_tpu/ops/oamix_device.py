@@ -173,7 +173,7 @@ def _sample_random_boxes(key, img_shape, scale_rng, ratio_rng, max_boxes: int,
 # ------------------------------------------------------------- warps -------
 
 def _op_matrices(key, family: int, boxes, box_valid, img_shape,
-                 severity: float, is_bg: bool):
+                 severity: float, is_bg: bool, inj=None):
     """Forward 2x3 affines for one geometric-op family, vectorized over
     boxes (scalar-granularity ops serialize badly on TPU, so all per-box
     quantities stay (G,) vectors and the RNG is one fused draw).
@@ -185,14 +185,19 @@ def _op_matrices(key, family: int, boxes, box_valid, img_shape,
     """
     h, w = img_shape[0], img_shape[1]
     g = boxes.shape[0]
-    u = jax.random.uniform(key, (g, 3))
-    lvl = 0.1 + u[:, 0] * (severity - 0.1)
-    sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
-    # ONE axis coin per call (reference bbox_augmentation.py:103-104:
-    # shear_xy picks shear_x or shear_y once, for every box); magnitudes
-    # and signs stay per-box (sample_level runs per aug_func call inside
-    # the per-box loop)
-    use_x = u[0, 2] < 0.5
+    if inj is not None:          # shared-draw-table mode (parity tests)
+        lvl = inj[0][:g]
+        sign = inj[1][:g]
+        use_x = inj[2] < 0.5
+    else:
+        u = jax.random.uniform(key, (g, 3))
+        lvl = 0.1 + u[:, 0] * (severity - 0.1)
+        sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
+        # ONE axis coin per call (reference bbox_augmentation.py:103-104:
+        # shear_xy picks shear_x or shear_y once, for every box);
+        # magnitudes and signs stay per-box (sample_level runs per
+        # aug_func call inside the per-box loop)
+        use_x = u[0, 2] < 0.5
 
     if is_bg:
         cx = jnp.full((g,), w / 2.0)
@@ -400,15 +405,21 @@ def _precompute_fg_maps(boxes, valid, h: int, w: int, sigma_ratio: float):
     return fg_maps(fxg, fyg, h, w)
 
 
-def _pw_params(key, boxes, severity: float):
+def _pw_params(key, boxes, severity: float, inj=None):
     """Per-call draws shared by the pw family kernels — same RNG layout as
     ``_op_matrices`` (lvl/sign per box, ONE axis coin per call, matching
-    reference bbox_augmentation.py:103-117 shear_xy/translate_xy)."""
+    reference bbox_augmentation.py:103-117 shear_xy/translate_xy).
+    ``inj`` = (levels (G,), signs (G,), coin) shared-draw-table mode."""
     g = boxes.shape[0]
-    u = jax.random.uniform(key, (g, 3))
-    lvl = 0.1 + u[:, 0] * (severity - 0.1)
-    sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
-    use_x = u[0, 2] < 0.5
+    if inj is not None:
+        lvl = inj[0][:g]
+        sign = inj[1][:g]
+        use_x = inj[2] < 0.5
+    else:
+        u = jax.random.uniform(key, (g, 3))
+        lvl = 0.1 + u[:, 0] * (severity - 0.1)
+        sign = jnp.where(u[:, 1] > 0.5, -1.0, 1.0)
+        use_x = u[0, 2] < 0.5
     cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
     cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
     bw = boxes[:, 2] - boxes[:, 0] + 1
@@ -437,13 +448,13 @@ def _pw_pass_y(img, fg: _FgInfo, p):
         (1, 0, 2))
 
 
-def _pw_rotate(img, fg: _FgInfo, key, severity: float):
+def _pw_rotate(img, fg: _FgInfo, key, severity: float, inj=None):
     """bboxes_only_rotate on the piecewise-shift kernel: centered Paeth
     X(a1) Y(b2) X(a1) 3-shear factorization (3 per-row shift passes).
     Same per-pixel strongest-box approximation as the gather path; the
     rotation interpolates through 3 lerp stages instead of 2."""
     h, w = img.shape[0], img.shape[1]
-    lvl, sign, _, cx, cy, _, _ = _pw_params(key, fg.boxes, severity)
+    lvl, sign, _, cx, cy, _, _ = _pw_params(key, fg.boxes, severity, inj)
     deg = jnp.floor(lvl * 30.0 / 10.0) * sign
     rad = jnp.deg2rad(deg)
     a1 = -jnp.tan(rad / 2.0)
@@ -458,12 +469,13 @@ def _pw_rotate(img, fg: _FgInfo, key, severity: float):
     return _pw_finish(img, out, fg)
 
 
-def _pw_shear(img, fg: _FgInfo, key, severity: float):
+def _pw_shear(img, fg: _FgInfo, key, severity: float, inj=None):
     """bboxes_only_shear_xy: ONE shift pass — x or y picked by the
     per-call coin via lax.cond (under scan the untaken pass never runs;
     the old 3-pass form paid two dead kernel passes + transposes)."""
     h, w = img.shape[0], img.shape[1]
-    lvl, sign, use_x, cx, cy, _, _ = _pw_params(key, fg.boxes, severity)
+    lvl, sign, use_x, cx, cy, _, _ = _pw_params(key, fg.boxes, severity,
+                                                inj)
     sh = lvl * 0.3 / 10.0 * sign
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[:, None]
@@ -475,7 +487,7 @@ def _pw_shear(img, fg: _FgInfo, key, severity: float):
     return _pw_finish(img, out, fg)
 
 
-def _pw_translate(img, fg: _FgInfo, key, severity: float):
+def _pw_translate(img, fg: _FgInfo, key, severity: float, inj=None):
     """bboxes_only_translate_xy: ONE constant-shift pass (x or y).
 
     Bound note: the pass clamps per-box shifts to the kernel's max_shift
@@ -485,7 +497,8 @@ def _pw_translate(img, fg: _FgInfo, key, severity: float):
     near-image-width boxes (their blend mask covers most of the frame
     anyway); all rotate/shear bounds fit well inside the kernel pad."""
     h, w = img.shape[0], img.shape[1]
-    lvl, sign, use_x, _, _, bw, bh = _pw_params(key, fg.boxes, severity)
+    lvl, sign, use_x, _, _, bw, bh = _pw_params(key, fg.boxes, severity,
+                                                inj)
     tx = jnp.floor(lvl * (bw / 3.0) / 10.0) * sign
     ty = jnp.floor(lvl * (bh / 3.0) / 10.0) * sign
     ones_h = jnp.ones((h, 1), jnp.float32)
@@ -539,7 +552,7 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
 
 
 def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
-              version: str, active=None):
+              version: str, active=None, inj=None):
     """One reference ``aug()`` call (oa_mix.py:264): the sampled op applied
     to the full image.
 
@@ -560,6 +573,8 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     n_photo = 9 if all_ops else 4
 
     def lvl_from(k):
+        if inj is not None:      # shared-draw-table mode (parity tests)
+            return inj[0][0]
         return 0.1 + jax.random.uniform(k) * (severity - 0.1)
 
     def br_auto(k):
@@ -588,23 +603,23 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     # OAMIX_GEO_PW=0 restores the per-pixel gather path.
     def _geo_gather(k, family):
         mats = _op_matrices(k, family, fg.boxes, fg.valid, img_shape,
-                            severity, is_bg=False)
+                            severity, is_bg=False, inj=inj)
         inv = jax.vmap(_invert_2x3)(mats)
         return _apply_geo_bboxes_only(img, fg, inv.reshape(-1, 6))
 
     def br_geo_rot(k):
         if _use_pw_geo():
-            return _pw_rotate(img, fg, k, severity)
+            return _pw_rotate(img, fg, k, severity, inj)
         return _geo_gather(k, 0)
 
     def br_geo_shear(k):
         if _use_pw_geo():
-            return _pw_shear(img, fg, k, severity)
+            return _pw_shear(img, fg, k, severity, inj)
         return _geo_gather(k, 1)
 
     def br_geo_trans(k):
         if _use_pw_geo():
-            return _pw_translate(img, fg, k, severity)
+            return _pw_translate(img, fg, k, severity, inj)
         return _geo_gather(k, 2)
 
     # bg geo: family-specific Pallas shear-DMA warps (ops/pallas_warp.py) —
@@ -620,6 +635,8 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
         return jnp.clip(jnp.round(out), 0, 255)
 
     def _lvl_sign(k):
+        if inj is not None:
+            return inj[0][0], inj[1][0], inj[2]
         u = jax.random.uniform(k, (3,))
         lvl = 0.1 + u[0] * (severity - 0.1)
         sign = jnp.where(u[1] > 0.5, -1.0, 1.0)
@@ -688,10 +705,20 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
 
 # -------------------------------------------------------------- oamix ------
 
-def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
+def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict,
+                  draws: Dict = None):
     """One aug view for one image. img (H, W, 3) float32 [0,255] (pipeline
     color order, BGR like the reference). Returns (aug_img, ml_boxes,
-    ml_valid, oa_boxes, oa_valid)."""
+    ml_valid, oa_boxes, oa_valid).
+
+    ``draws`` (shared-draw-table parity mode — tests drive this kernel
+    and the host oracle oa_mix_host.oamix_host from ONE pinned table):
+    dict of arrays replacing every PRNG draw — ml_boxes (MAX_ML, 4) +
+    ml_valid, ws (width,), depth (width,) int, op_idx (width, 3, S+1)
+    int, op_level/op_sign (width, 3, S+1, max_fg) f32, op_coin
+    (width, 3, S+1) f32, fg_scores (max_fg,), oa_boxes (MAX_OA, 4) +
+    oa_valid, mix_us (max_fg + MAX_OA,), m_global (). None = production
+    PRNG path, bit-identical to before."""
     h, w = img.shape[0], img.shape[1]
     severity = float(cfg.get("severity", 10))
     width = int(cfg.get("mixture_width", 3))
@@ -703,9 +730,14 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     keys = jax.random.split(key, 8)
 
     # multilevel random boxes + masks
-    ml_boxes, ml_valid = _sample_random_boxes(
-        keys[0], img_shape, tuple(cfg.get("random_box_scale", (0.01, 0.1))),
-        tuple(cfg.get("random_box_ratio", (3, 1 / 3))), MAX_ML, 1, 3)
+    if draws is not None:
+        ml_boxes = draws["ml_boxes"].astype(jnp.float32)
+        ml_valid = draws["ml_valid"].astype(bool)
+    else:
+        ml_boxes, ml_valid = _sample_random_boxes(
+            keys[0], img_shape,
+            tuple(cfg.get("random_box_scale", (0.01, 0.1))),
+            tuple(cfg.get("random_box_ratio", (3, 1 / 3))), MAX_ML, 1, 3)
     # HARD masks: the reference builds multilevel region masks WITHOUT
     # blur (oa_mix.py:137 get_random_regions default use_blur=False;
     # only fg masks are blurred) — confirmed by the golden parity test.
@@ -722,9 +754,14 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     max_fg = int(cfg.get("max_fg", MAX_FG))
     fg_boxes = gt_boxes[:max_fg]
     fg_valid = gt_valid[:max_fg]
-    scores = jax.vmap(lambda b, v: jnp.where(
-        v, saliency_score(img, b, min_size=spatial_ratio), -1.0))(
-        fg_boxes, fg_valid)
+    if draws is not None:
+        scores = jnp.where(fg_valid,
+                           draws["fg_scores"][:max_fg].astype(jnp.float32),
+                           -1.0)
+    else:
+        scores = jax.vmap(lambda b, v: jnp.where(
+            v, saliency_score(img, b, min_size=spatial_ratio), -1.0))(
+            fg_boxes, fg_valid)
     best_id, cover, union = _precompute_fg_maps(fg_boxes, fg_valid, h, w,
                                                 sigma_ratio)
     pw_x = pw_y = None
@@ -737,12 +774,17 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
                  pw_x=pw_x, pw_y=pw_y)
 
     # Dirichlet chain weights + all op draws up front
-    ws = jax.random.dirichlet(keys[1], jnp.ones((width,)))
     n_ops = (4 if version == "augmix" else 9) + 6
     max_depth = 3
     n_slots = MAX_ML + 1
     k_ops, k_calls = jax.random.split(keys[2])
-    op_draw = jax.random.randint(k_ops, (width, max_depth, n_slots), 0, n_ops)
+    if draws is not None:
+        ws = draws["ws"].astype(jnp.float32)
+        op_draw = draws["op_idx"].astype(jnp.int32)
+    else:
+        ws = jax.random.dirichlet(keys[1], jnp.ones((width,)))
+        op_draw = jax.random.randint(k_ops, (width, max_depth, n_slots),
+                                     0, n_ops)
     import os as _os
     _force = _os.environ.get("OAMIX_FORCE_OP")
     if _force is not None:                       # debug/profiling knob
@@ -760,27 +802,41 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         [ml_masks, (1.0 - union_mask)[None]], axis=0)          # (S+1, H, W)
     slot_active = jnp.concatenate([ml_valid, jnp.ones((1,), bool)])
 
+    inject = draws is not None
+
     def chain_body(acc, xs):
-        kc, wgt, ck_w, od_w = xs
-        depth = (depth_cfg if depth_cfg > 0
-                 else jax.random.randint(kc, (), 1, 4))
+        if inject:
+            kc, wgt, ck_w, od_w, lv_w, sg_w, cn_w, depth = xs
+        else:
+            kc, wgt, ck_w, od_w = xs
+            depth = (depth_cfg if depth_cfg > 0
+                     else jax.random.randint(kc, (), 1, 4))
 
         def depth_step(d, img_aug16):
             def slot_body(img_tmp, sx):
-                ck, od, mask, act = sx
+                if inject:
+                    ck, od, mask, act, lv, sg, cn = sx
+                    inj_t = (lv, sg, cn)
+                else:
+                    ck, od, mask, act = sx
+                    inj_t = None
 
                 def run(it):
                     out_s = _aug_once(img_aug16, ck, od, fg, img_shape,
-                                      severity, version).astype(jnp.float32)
+                                      severity, version,
+                                      inj=inj_t).astype(jnp.float32)
                     return it + mask[..., None] * out_s
 
                 # inactive slots have an all-zero mask: skip BOTH the op and
                 # the full-image multiply-add (bit-exact — adding zero)
                 return jax.lax.cond(act, run, lambda it: it, img_tmp), None
 
+            slot_xs = (ck_w[d], od_w[d], slot_masks, slot_active)
+            if inject:
+                slot_xs = slot_xs + (lv_w[d], sg_w[d], cn_w[d])
             img_tmp, _ = jax.lax.scan(
                 slot_body, jnp.zeros(img_aug16.shape, jnp.float32),
-                (ck_w[d], od_w[d], slot_masks, slot_active))
+                slot_xs)
             # uint8-valued after clip+round: exact in bf16
             return jnp.clip(jnp.round(img_tmp), 0, 255).astype(jnp.bfloat16)
 
@@ -791,23 +847,33 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         return acc + wgt * out16.astype(jnp.float32), None
 
     chain_keys = jax.random.split(keys[5], width)
+    chain_xs = (chain_keys, ws, call_keys, op_draw)
+    if inject:
+        chain_xs = chain_xs + (
+            draws["op_level"].astype(jnp.float32),
+            draws["op_sign"].astype(jnp.float32),
+            draws["op_coin"].astype(jnp.float32),
+            draws["depth"].astype(jnp.int32))
     if _os.environ.get("OAMIX_SKIP_CHAIN"):      # profiling knob
         img_oamix = img * 1.0000001
     else:
         img_oamix, _ = jax.lax.scan(
-            chain_body, jnp.zeros_like(img),
-            (chain_keys, ws, call_keys, op_draw))
+            chain_body, jnp.zeros_like(img), chain_xs)
 
     # object-aware mixing regions: low-saliency fg + oa random boxes
     low_sal = fg_valid & (scores <= float(cfg.get("score_thresh", 10)))
-    n_low = jnp.sum(low_sal)
-    n_oa_target = jnp.clip(n_low, 1, MAX_OA)
-    oa_boxes, oa_valid0 = _sample_random_boxes(
-        keys[3], img_shape,
-        tuple(cfg.get("oa_random_box_scale", (0.005, 0.1))),
-        tuple(cfg.get("oa_random_box_ratio", (3, 1 / 3))), MAX_OA, 1,
-        MAX_OA + 1)
-    oa_valid = oa_valid0 & (jnp.arange(MAX_OA) < n_oa_target)
+    if draws is not None:
+        oa_boxes = draws["oa_boxes"].astype(jnp.float32)
+        oa_valid = draws["oa_valid"].astype(bool)
+    else:
+        n_low = jnp.sum(low_sal)
+        n_oa_target = jnp.clip(n_low, 1, MAX_OA)
+        oa_boxes, oa_valid0 = _sample_random_boxes(
+            keys[3], img_shape,
+            tuple(cfg.get("oa_random_box_scale", (0.005, 0.1))),
+            tuple(cfg.get("oa_random_box_ratio", (3, 1 / 3))), MAX_OA, 1,
+            MAX_OA + 1)
+        oa_valid = oa_valid0 & (jnp.arange(MAX_OA) < n_oa_target)
     # oa box score: min fg score among overlapping fg boxes, else +inf
     def oa_score(b):
         x1 = jnp.maximum(b[0], fg_boxes[:, 0])
@@ -825,7 +891,10 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
     region_boxes = jnp.concatenate([fg_boxes, oa_boxes], axis=0)
     region_valid = jnp.concatenate([low_sal, oa_valid], axis=0)
     region_scores = jnp.concatenate([scores, oa_scores], axis=0)
-    mix_us = jax.random.uniform(keys[4], (region_boxes.shape[0],))
+    if draws is not None:
+        mix_us = draws["mix_us"].astype(jnp.float32)
+    else:
+        mix_us = jax.random.uniform(keys[4], (region_boxes.shape[0],))
 
     # Per-pixel region masks via separable 1-D profiles (R*W + R*H erf
     # evaluations once, one outer product per loop iteration) instead of a
@@ -882,7 +951,10 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
         a_w, b_w, mask_sum = jax.lax.fori_loop(
             0, region_boxes.shape[0], mix_body, (zhw, zhw, zhw))
 
-    m_global = jax.random.beta(keys[5], 1.0, 1.0)
+    if draws is not None:
+        m_global = draws["m_global"].astype(jnp.float32)
+    else:
+        m_global = jax.random.beta(keys[5], 1.0, 1.0)
     rest = 1.0 - mask_sum
     ow = a_w + (1.0 - m_global) * rest                # img weight
     aw = b_w + m_global * rest                        # img_oamix weight
@@ -898,7 +970,7 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict):
 
 
 def oamix_batch(img_raw, gt_bboxes, gt_valid, img_shape, key,
-                cfg: Dict) -> Dict[str, jnp.ndarray]:
+                cfg: Dict, draws: Dict = None) -> Dict[str, jnp.ndarray]:
     """Batched multi-view OA-Mix.
 
     Args:
@@ -916,13 +988,15 @@ def oamix_batch(img_raw, gt_bboxes, gt_valid, img_shape, key,
     n_aug = max(num_views - 1, 0)
     b = img_raw.shape[0]
 
-    def per_image(img, gt, gtv, shape, k):
+    def per_image(img, gt, gtv, shape, k, dr=None):
         views = []
         ml = oam = None
         kks = jax.random.split(k, max(n_aug, 1))
         for v in range(n_aug):
+            dv = (None if dr is None else
+                  jax.tree_util.tree_map(lambda a: a[v], dr))
             out, mlb, mlv, oab, oav = _oamix_single(img, gt, gtv, shape,
-                                                    kks[v], cfg)
+                                                    kks[v], cfg, draws=dv)
             views.append(out)
             ml, oam = (mlb, mlv), (oab, oav)    # keep last view's (ref behavior)
         if not views:
@@ -938,11 +1012,22 @@ def oamix_batch(img_raw, gt_bboxes, gt_valid, img_shape, key,
     # unroll multiplied the step's compile time by b).
     keys = jax.random.split(key, b)
 
-    def scan_im(_, xs):
-        img, gt, gtv, shape, k = xs
-        return None, per_image(img, gt, gtv, shape, k)
+    if draws is not None:
+        # shared-draw-table mode: each array in ``draws`` carries leading
+        # (B, n_aug, ...) dims, scanned alongside the images
+        def scan_im_inj(_, xs):
+            img, gt, gtv, shape, k, dr = xs
+            return None, per_image(img, gt, gtv, shape, k, dr)
 
-    _, (aug, mlb, mlv, oab, oav) = jax.lax.scan(
-        scan_im, None, (img_raw, gt_bboxes, gt_valid, img_shape, keys))
+        _, (aug, mlb, mlv, oab, oav) = jax.lax.scan(
+            scan_im_inj, None,
+            (img_raw, gt_bboxes, gt_valid, img_shape, keys, draws))
+    else:
+        def scan_im(_, xs):
+            img, gt, gtv, shape, k = xs
+            return None, per_image(img, gt, gtv, shape, k)
+
+        _, (aug, mlb, mlv, oab, oav) = jax.lax.scan(
+            scan_im, None, (img_raw, gt_bboxes, gt_valid, img_shape, keys))
     return dict(aug=aug, multilevel_boxes=mlb, multilevel_valid=mlv,
                 oamix_boxes=oab, oamix_valid=oav)

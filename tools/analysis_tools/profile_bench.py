@@ -56,12 +56,15 @@ def main():
 
     t0 = time.perf_counter()
     if os.environ.get("PROF_HLO"):
-        # optimized-HLO text dump for parse_trace --hlo source-line joins
+        # optimized-HLO text dump for parse_trace --hlo source-line joins;
+        # execute through the SAME compiled object (a fresh step() call
+        # would compile a second time, ~150 s wasted)
         compiled = step.lower(params, batch_stats, opt_state, batch,
                               jax.random.PRNGKey(2)).compile()
         with open(os.environ["PROF_HLO"], "w") as f:
             f.write(compiled.as_text())
         print(f"optimized HLO -> {os.environ['PROF_HLO']}", file=sys.stderr)
+        step = compiled
     params, batch_stats, opt_state, log_vars = step(params, batch_stats, opt_state, batch,
                                        jax.random.PRNGKey(2))
     _ = float(log_vars["loss"])
