@@ -64,9 +64,14 @@ class StaticBatcher:
             h = ((h + d - 1) // d) * d
             w = ((w + d - 1) // d) * d
         g = self.max_gt
+        # Normalize-on-device path (OAMix on_device: Normalize skipped,
+        # img is still raw uint8 and aliases img_raw): ship ONLY the
+        # uint8 img_raw — the device preprocess derives the normalized
+        # clean view on-chip. 4x less collate memcpy + host->device
+        # transfer than the f32 "img" stack, and no duplicate pixels.
+        norm_on_device = bool(samples[0].get("norm_on_device")) and \
+            "img_raw" in samples[0]
         batch = {
-            "img": np.stack([_pad_to(s["img"].astype(np.float32), h, w)
-                             for s in samples]),
             "img_shape": np.asarray(
                 [s["img_metas"]["img_shape"][:2] for s in samples], np.float32),
             "scale_factor": np.stack([
@@ -74,9 +79,13 @@ class StaticBatcher:
                                               [1, 1, 1, 1]),
                            np.float32).reshape(-1)[:4] for s in samples]),
         }
+        if not norm_on_device:
+            batch["img"] = np.stack([
+                _pad_to(s["img"].astype(np.float32), h, w) for s in samples])
         if "img_raw" in samples[0]:
             batch["img_raw"] = np.stack([
-                _pad_to(s["img_raw"].astype(np.float32), h, w)
+                _pad_to(s["img_raw"], h, w) if norm_on_device
+                else _pad_to(s["img_raw"].astype(np.float32), h, w)
                 for s in samples])
         if "gt_bboxes" in samples[0]:
             gt = np.zeros((b, g, 4), np.float32)

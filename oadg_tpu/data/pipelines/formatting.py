@@ -47,7 +47,11 @@ class DefaultFormatBundle:
     def __call__(self, results: Dict[str, Any]):
         for key in results.get("img_fields", ["img"]):
             img = results[key]
-            if self.img_to_float and img.dtype != np.float32:
+            if (self.img_to_float and img.dtype != np.float32
+                    and not results.get("norm_on_device")):
+                # norm_on_device (on-device OA-Mix): pixels stay uint8
+                # through collate; the device preprocess converts +
+                # normalizes on-chip (engine/preprocess.py).
                 img = img.astype(np.float32)
             if img.ndim == 2:
                 img = img[..., None]

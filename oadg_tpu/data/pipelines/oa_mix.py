@@ -78,15 +78,24 @@ class OAMix:
         # A pristine pre-Normalize copy rides along — the device kernels
         # augment raw [0,255] pixels exactly like the reference does before
         # its Normalize step (reference pipeline order, SURVEY.md §3.2).
-        results["img_raw"] = np.ascontiguousarray(results["img"]).copy()
-        results.setdefault("custom_field", []).append("img_raw")
+        #
+        # Host-cost contract (measured: Normalize was 102 of the host
+        # pipeline's 126 ms/sample): ``norm_on_device`` tells the
+        # downstream Normalize to skip the pixel math (the device
+        # preprocess normalizes BOTH the clean view and the aug views
+        # on-chip from img_raw), and the placeholder views stay OUT of
+        # img_fields so Normalize/Pad never touch them — the collate
+        # ships only the uint8 img_raw (4x less host->device traffic).
+        results["img_raw"] = np.ascontiguousarray(results["img"])
+        results["norm_on_device"] = True
         results["oamix_cfg"] = self.cfg
-        results["custom_field"] = ["img_raw"]
+        # norm_on_device rides custom_field so Collect keeps it and the
+        # static collate can see it per-sample.
+        results["custom_field"] = ["img_raw", "norm_on_device"]
         results["img_fields"] = ["img"]
         for i in range(2, self.num_views + 1):
             results[f"img{i}"] = results["img"]        # placeholder view;
             results[f"gt_bboxes{i}"] = results["gt_bboxes"].copy()
-            results["img_fields"].append(f"img{i}")
             results["custom_field"] += [f"img{i}", f"gt_bboxes{i}"]
         # random-box fields are produced on device; declare empty shells
         results.setdefault("multilevel_boxes", np.zeros((0, 4), np.float32))

@@ -142,13 +142,23 @@ class Normalize:
         self.to_rgb = to_rgb
 
     def __call__(self, results: Dict[str, Any]):
+        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb)
+        if results.get("norm_on_device"):
+            # on-device OA-Mix path: the device preprocess normalizes the
+            # clean view AND the aug views on-chip from the raw uint8
+            # batch (engine/preprocess.py) — the host math here (102 ms
+            # per 2048x1024 sample, the largest host pipeline cost) is
+            # skipped and pixels stay uint8 through collate.
+            return results
+        inv_std = (1.0 / self.std).astype(np.float32)
         for key in results.get("img_fields", ["img"]):
             img = results[key].astype(np.float32)
             if self.to_rgb:
                 img = img[..., ::-1]
-            results[key] = (img - self.mean) / self.std
-        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std,
-                                       to_rgb=self.to_rgb)
+            img -= self.mean
+            img *= inv_std
+            results[key] = img
         return results
 
 

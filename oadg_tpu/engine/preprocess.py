@@ -38,18 +38,30 @@ def make_oadg_preprocess(oamix_cfg: Dict[str, Any],
     cfg = dict(oamix_cfg)
 
     def preprocess(batch: Dict[str, jnp.ndarray], key) -> Dict[str, jnp.ndarray]:
-        out = oamix_batch(batch["img_raw"], batch["gt_bboxes"],
+        raw = batch["img_raw"]
+        if raw.dtype != jnp.float32:           # uint8 collate path
+            raw = raw.astype(jnp.float32)
+        out = oamix_batch(raw, batch["gt_bboxes"],
                           batch["gt_valid"], batch["img_shape"], key, cfg)
         aug = out["aug"]                       # (B, V-1, H, W, 3) raw
         if to_rgb:
             aug = aug[..., ::-1]
         aug = (aug - mean) / std
 
+        if "img" in batch:                     # host-normalized clean view
+            clean = batch["img"]
+        else:
+            # normalize-on-device path: the collate ships only the raw
+            # uint8 batch; derive the clean view here (fused elementwise,
+            # ~0.3 ms — vs 102 ms/sample of host numpy it replaces)
+            clean = raw[..., ::-1] if to_rgb else raw
+            clean = (clean - mean) / std
+
         def tile(x):
             return jnp.concatenate([x] * num_views, axis=0)
 
         imgs = jnp.concatenate(
-            [batch["img"]] + [aug[:, v] for v in range(aug.shape[1])], axis=0)
+            [clean] + [aug[:, v] for v in range(aug.shape[1])], axis=0)
         new_batch = {
             "img": imgs,
             "gt_bboxes": tile(batch["gt_bboxes"]),
@@ -58,7 +70,7 @@ def make_oadg_preprocess(oamix_cfg: Dict[str, Any],
             "img_shape": tile(batch["img_shape"]),
             "scale_factor": tile(batch.get(
                 "scale_factor",
-                jnp.ones((batch["img"].shape[0], 4), jnp.float32))),
+                jnp.ones((raw.shape[0], 4), jnp.float32))),
             "multilevel_boxes": tile(out["multilevel_boxes"]),
             "multilevel_valid": tile(out["multilevel_valid"]),
             "oamix_boxes": tile(out["oamix_boxes"]),

@@ -390,9 +390,13 @@ def _roi_align_forward(feats, rois, output_size, featmap_strides,
         feats, rois, res, ~compact, out, featmap_strides,
         finest_scale, sampling_ratio, hs, ws, level_off, shapes, platform)
 
-    # exact gather pass for the leftovers (bounded, looped)
+    # exact gather pass for the leftovers (bounded, looped). Probed
+    # coverage (probe_roi_windows.py PROBE_COVERAGE=1): 0-1 rois remain
+    # per step after passA/B, so 32 slots nearly always finish in one
+    # iteration — at 1/8th the gather traffic of a 256-slot pass
+    # (the pass ran almost every step and cost ~10 ms at 256).
     r = rois.shape[0]
-    V = min(256, r)
+    V = min(32, r)
 
     def body(state):
         acc, mask = state
@@ -753,10 +757,16 @@ def _ml_bwd(output_size, featmap_strides, sampling_ratio, finest_scale,
                 handled_any = handled_any | (p["handled"] & vsel)
         remaining = viol & ~jnp.zeros_like(viol).at[vidx].set(handled_any)
 
+        # 32 exact slots per iteration (not 256): 0-1 rois remain per
+        # step after passA/B (probe_roi_windows.py PROBE_COVERAGE=1),
+        # and the tap scatter's cost is linear in the slot count — the
+        # 256-slot pass cost ~15 ms/step and fired nearly every step.
+        V_ex = min(32, r)
+
         def any_viol_body(state):
             tbl, mask = state
             score = mask.astype(jnp.float32)
-            _, idx = jax.lax.top_k(score, V)
+            _, idx = jax.lax.top_k(score, V_ex)
             sel = mask[idx]
             tbl = tap_scatter_masked(tbl, rois[idx], g32[idx], sel)
             return tbl, mask & ~jnp.zeros_like(mask).at[idx].set(sel)

@@ -74,3 +74,63 @@ print(f"transposed 32x8 pair: {100*c3208t.mean():.1f}%")
 print("span percentiles x:", np.percentile(sx, [50, 90, 99, 99.9]).round(1),
       "y:", np.percentile(sy, [50, 90, 99, 99.9]).round(1))
 print("max span:", sx.max(), sy.max())
+
+# ---- violator-pass coverage on the REAL roi mix (sampled + random
+# proposals for the contrastive head, both views), matching _ml_bwd ----
+from oadg_tpu.ops.roi_align import _window_meta, _violator_window_meta
+
+def coverage(vars_, batch, rng):
+    rng, pk = jax.random.split(rng)
+    batch = preprocess(batch, pk)
+    m = det.bind(vars_, rngs={"sampling": rng})
+    feats = m.extract_feat(batch["img"])
+    cls_scores, bbox_preds = m.rpn(feats)
+    proposal_cfg = dict(dict(model.get("train_cfg") or {}).get("rpn_proposal", {}))
+    bb = batch["img"].shape[0] // num_views
+    prop_boxes, _, prop_valid = m.rpn.get_proposals(
+        [s[:bb] for s in cls_scores], [p[:bb] for p in bbox_preds],
+        batch["img_shape"][:bb], proposal_cfg)
+    roi = m.roi
+    keys = jax.random.split(rng, bb)
+    boxes, labels, is_pos, valid, matched_gt, _ = jax.vmap(roi._sample_one)(
+        keys, prop_boxes, prop_valid, batch["gt_bboxes"][:bb],
+        batch["gt_valid"][:bb], batch["gt_labels"][:bb])
+    rnd_boxes, rnd_valid = m._random_proposals(
+        {k: (v[:bb] if hasattr(v, "shape") else v) for k, v in batch.items()},
+        rng)
+    all_boxes = [boxes]
+    if rnd_boxes is not None:
+        all_boxes.append(rnd_boxes)
+    stats = {}
+    shapes = [(f.shape, f.dtype) for f in feats]
+    hs = np.array([sh[0][1] for sh in shapes])
+    ws = np.array([sh[0][2] for sh in shapes])
+    level_off = np.concatenate([[0], np.cumsum(shapes[0][0][0] * hs * ws)[:-1]])
+    for name, bx in (("sampled", boxes),
+                     ("random", rnd_boxes if rnd_boxes is not None else boxes)):
+        n, p = bx.shape[:2]
+        bidx = jnp.repeat(jnp.arange(n, dtype=jnp.float32), p).reshape(n, p)
+        rois = jnp.concatenate([bidx[..., None], bx], -1).reshape(-1, 5)
+        _, _, _, compact, _ = _window_meta(
+            rois, 7, (4, 8, 16, 32), 56, 2, hs, ws, level_off, shapes)
+        viol = ~compact
+        V = min(256, rois.shape[0])
+        _, vidx = jax.lax.top_k(viol.astype(jnp.float32), V)
+        vsel = viol[vidx]
+        passA, passB, _ = _violator_window_meta(
+            rois[vidx], 7, (4, 8, 16, 32), 56, 2, hs, ws, level_off, shapes)
+        h_any = jnp.zeros_like(vsel)
+        for pp in (passA, passB):
+            if pp is not None:
+                h_any = h_any | (pp["handled"] & vsel)
+        remaining = viol & ~jnp.zeros_like(viol).at[vidx].set(h_any)
+        stats[name] = (rois.shape[0], jnp.sum(viol), jnp.sum(remaining))
+    return stats
+
+if os.environ.get("PROBE_COVERAGE"):
+    cov_j = jax.jit(coverage)
+    for seed in (11, 12, 13, 14):
+        st = cov_j(variables, batch, jax.random.PRNGKey(seed))
+        for name, (tot, nv, nr) in st.items():
+            print(f"seed {seed} {name}: rois={int(tot)} violators={int(nv)} "
+                  f"remaining_after_passAB={int(nr)}")
