@@ -23,6 +23,8 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_oadg")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+if os.environ.get("BENCH_CPU") == "1":          # smoke/debug runs
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,10 +57,62 @@ def main():
     # GENERATED on device and synced — in this environment host->device
     # rides a <0.1 MB/s tunnel, and an uploaded batch was billed to
     # "compile" (the lowering blocks on the device queue).
-    from __graft_entry__ import _train_batch_device
-    batch = _train_batch_device(b, h, w, g=16, raw=True)
+    #
+    # BENCH_REAL_LOADER=1: end-to-end mode instead — synthetic JPEGs on
+    # disk, the REAL PrefetchLoader (decode + Resize + Flip + uint8
+    # collate) feeds every step its own batch, and the sustained rate
+    # includes host pipeline + host->device transfer. This is the number
+    # that proves the host keeps up with the device rate on a real TPU
+    # host; over this environment's tunnel the 6 MB/step upload dominates,
+    # so the driver-run default stays the device-resident measurement
+    # (host rate evidenced separately by bench_dataloader.py: 37.3
+    # samples/s on 1 vCPU vs ~10 on-device — see STATUS.md).
+    real_loader = os.environ.get("BENCH_REAL_LOADER") == "1"
+    loader = None
+    if real_loader:
+        import tempfile
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools", "analysis_tools"))
+        from bench_dataloader import (flagship_host_pipeline,
+                                      make_dataset_on_disk)
+        from oadg_tpu.data.builder import build_dataloader, build_dataset
+        root = os.environ.get("BENCH_LOADER_ROOT") or tempfile.mkdtemp(
+            prefix="oadg_benchloader_")
+        ann = os.path.join(root, "ann.json")
+        if not os.path.exists(ann):
+            ann, _ = make_dataset_on_disk(root, max(4 * b, 16), hw=(h, w))
+        pipe = flagship_host_pipeline()
+        for p in pipe:          # match the bench resolution (flagship
+            if p["type"] == "Resize":   # default is 2048x800..1024)
+                p["img_scale"] = [(w, int(h * 800 / 1024)), (w, h)]
+        ds = build_dataset(dict(
+            type="CocoDataset", ann_file=ann,
+            img_prefix=os.path.join(root, "images"),
+            classes=tuple(f"c{c}" for c in range(1, 9)),
+            pipeline=pipe, filter_empty_gt=False))
+        loader = build_dataloader(
+            ds, samples_per_gpu=b, workers_per_gpu=4, dist=False,
+            shuffle=True, seed=0, static_hw=(h, w), max_gt=16,
+            rank=0, world_size=1)
+        loader_it = iter(loader)
+
+        def next_batch():
+            nonlocal loader_it
+            try:
+                nb = next(loader_it)
+            except StopIteration:
+                loader_it = iter(loader)
+                nb = next(loader_it)
+            return {k: jnp.asarray(v) for k, v in nb.items()
+                    if k != "metas"}
+
+        batch = next_batch()
+    else:
+        from __graft_entry__ import _train_batch_device
+        batch = _train_batch_device(b, h, w, g=16, raw=True)
     preprocess = make_oadg_preprocess(dict(cfg.oamix_config),
-                                      dict(cfg.img_norm_cfg))
+                                      dict(cfg.img_norm_cfg),
+                                      out_dtype=jnp.bfloat16)
 
     # init at a tiny spatial size — params are shape-independent, so the big
     # compile happens once, for the real step only
@@ -96,6 +150,8 @@ def main():
     # does not reliably block on tunneled backends, hence the scalar fetch.
     t0 = time.perf_counter()
     for i in range(steps):
+        if real_loader:
+            batch = next_batch()       # fresh host batch every step
         params, batch_stats, opt_state, log_vars = step(params, batch_stats, opt_state,
                                            batch, jax.random.PRNGKey(3 + i))
     _ = float(log_vars["loss"])
@@ -111,6 +167,9 @@ def main():
             "compile_seconds": round(compile_s, 1),
             "batch_clean": b, "num_views": num_views,
             "image_hw": [h, w], "dtype": "bfloat16",
+            "mode": ("real_loader (disk->PrefetchLoader->device, fresh "
+                     "batch every step)" if real_loader
+                     else "device-resident synthetic batch"),
             "loss": float(log_vars["loss"]),
             "device": str(jax.devices()[0]),
             "baseline_note": "reference publishes no throughput; baseline is "

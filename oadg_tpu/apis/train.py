@@ -83,7 +83,12 @@ def train_detector(detector, dataset, cfg, distributed: bool = False,
     oamix_op = _find_pipeline_op(pipeline, "OAMix")
     if oamix_op is not None:
         norm_op = _find_pipeline_op(pipeline, "Normalize") or {}
-        preprocess = make_oadg_preprocess(dict(oamix_op), dict(norm_op))
+        # emit the integrated image stack in the model's compute dtype
+        # (bf16 models cast at the first conv anyway; producing bf16 here
+        # halves the bytes of the largest non-conv tensor in the step)
+        preprocess = make_oadg_preprocess(
+            dict(oamix_op), dict(norm_op),
+            out_dtype=getattr(detector, "dtype", None))
         logger.info("OA-Mix runs on-device inside the train step")
 
     mesh = None

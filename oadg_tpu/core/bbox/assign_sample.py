@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ...utils.registry import BBOX_ASSIGNERS, BBOX_SAMPLERS
@@ -576,21 +577,126 @@ class PointAssigner:
 
 @BBOX_ASSIGNERS.register_module()
 class RegionAssigner:
-    """Config-surface entry (reference region_assigner.py). The anchor-
-    center-region logic is tied to the cascade-RPN feature pyramid and
-    lives in models/dense_heads/cascade_rpn_head.py (_region_targets);
-    there is no meaningful standalone form, so assign() fails loudly
-    instead of silently configuring nothing (round-1 verdict)."""
+    """Anchor-center-region assigner (reference
+    core/bbox/assigners/region_assigner.py:37): each gt is routed to the
+    pyramid level matching its scale; anchors whose centers fall in the
+    gt's center region become positive, a larger surrounding region (and
+    the same region on the two adjacent levels) becomes ignore; anchors
+    outside the image (+allowed_border) are ignored.
+
+    CascadeRPNHead consumes an inline fused variant
+    (models/dense_heads/cascade_rpn_head.py:_region_targets); this
+    standalone form serves direct use and config-built assigner
+    pipelines.  TPU-native shape contract: ``gt_bboxes`` is the padded
+    (G, 4) array with ``gt_valid`` mask; the reference's sequential
+    per-gt overwrite order is reproduced exactly by a fori_loop over the
+    static gt slots (later gts overwrite earlier ones — order matters,
+    reference assign() step comments)."""
 
     def __init__(self, center_ratio=0.2, ignore_ratio=0.5, **kw):
         self.center_ratio = center_ratio
         self.ignore_ratio = ignore_ratio
 
-    def assign(self, *a, **k):
-        raise NotImplementedError(
-            "RegionAssigner has no standalone assign(); it is consumed by "
-            "CascadeRPNHead (models/dense_heads/cascade_rpn_head.py), which "
-            "implements the region targets inline.")
+    @staticmethod
+    def _calc_region(bbox, ratio, stride, featmap_size):
+        """reference region_assigner.py:10 calc_region (rounded, clamped)."""
+        f = bbox / stride
+        x1 = jnp.round((1 - ratio) * f[0] + ratio * f[2])
+        y1 = jnp.round((1 - ratio) * f[1] + ratio * f[3])
+        x2 = jnp.round(ratio * f[0] + (1 - ratio) * f[2])
+        y2 = jnp.round(ratio * f[1] + (1 - ratio) * f[3])
+        h, w = featmap_size
+        return (jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
+                jnp.clip(x2, 0, w), jnp.clip(y2, 0, h))
+
+    @staticmethod
+    def _ctr_inside(anchors, stride, region):
+        x1, y1, x2, y2 = region
+        f = anchors / stride
+        x = (f[:, 0] + f[:, 2]) * 0.5
+        y = (f[:, 1] + f[:, 3]) * 0.5
+        return (x >= x1) & (x <= x2) & (y >= y1) & (y <= y2)
+
+    def assign(self, mlvl_anchors, gt_bboxes, gt_valid=None,
+               img_shape=None, featmap_sizes=None, anchor_scale=4,
+               anchor_strides=(4, 8, 16, 32, 64), gt_labels=None,
+               allowed_border=0, mlvl_valid_flags=None):
+        num_lvls = len(mlvl_anchors)
+        if featmap_sizes is None:
+            raise ValueError("RegionAssigner.assign needs featmap_sizes")
+        g = gt_bboxes.shape[0]
+        if gt_valid is None:
+            gt_valid = jnp.ones((g,), bool)
+        r1 = (1 - self.center_ratio) / 2
+        r2 = (1 - self.ignore_ratio) / 2
+
+        scale = jnp.sqrt(jnp.maximum(
+            (gt_bboxes[:, 2] - gt_bboxes[:, 0])
+            * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 1e-12))
+        min_sz = float(anchor_scale * anchor_strides[0])
+        target_lvls = jnp.clip(
+            jnp.floor(jnp.log2(scale) - np.log2(min_sz) + 0.5),
+            0, num_lvls - 1).astype(jnp.int32)
+
+        lvl_sizes = [a.shape[0] for a in mlvl_anchors]
+        offsets = np.concatenate([[0], np.cumsum(lvl_sizes)])
+        flat_anchors = jnp.concatenate(mlvl_anchors, axis=0)
+        k = flat_anchors.shape[0]
+
+        def per_gt_flags(gi):
+            """(pos, ign, adj) flat flags for gt gi at its target level."""
+            lvl = target_lvls[gi]
+            box = gt_bboxes[gi]
+            pos = jnp.zeros((k,), bool)
+            ign = jnp.zeros((k,), bool)
+            adj = jnp.zeros((k,), bool)
+            for li in range(num_lvls):
+                a = mlvl_anchors[li]
+                stride = anchor_strides[li]
+                fs = featmap_sizes[li]
+                sl = slice(int(offsets[li]), int(offsets[li + 1]))
+                ign_r = self._ctr_inside(
+                    a, stride, self._calc_region(box, r2, stride, fs))
+                pos_r = self._ctr_inside(
+                    a, stride, self._calc_region(box, r1, stride, fs))
+                at = lvl == li
+                near = (lvl == li + 1) | (lvl == li - 1)
+                pos = pos.at[sl].set(jnp.where(at, pos_r, False))
+                ign = ign.at[sl].set(jnp.where(at, ign_r, False))
+                adj = adj.at[sl].set(jnp.where(near, ign_r, False))
+            return pos, ign, adj
+
+        def body(gi, state):
+            assigned, adj_all = state
+            pos, ign, adj = per_gt_flags(gi)
+            v = gt_valid[gi]
+            # reference order per gt: ignore region first, then positives
+            assigned = jnp.where(v & ign, -1, assigned)
+            assigned = jnp.where(v & pos, gi + 1, assigned)
+            return assigned, adj_all | (adj & v)
+
+        assigned = jnp.zeros((k,), jnp.int32)
+        adj_all = jnp.zeros((k,), bool)
+        assigned, adj_all = jax.lax.fori_loop(
+            0, g, body, (assigned, adj_all))
+        assigned = jnp.where(adj_all, -1, assigned)
+
+        if img_shape is not None:
+            ab = float(allowed_border)
+            inside = ((flat_anchors[:, 0] >= -ab)
+                      & (flat_anchors[:, 1] >= -ab)
+                      & (flat_anchors[:, 2] < img_shape[1] + ab)
+                      & (flat_anchors[:, 3] < img_shape[0] + ab))
+            if mlvl_valid_flags is not None:
+                inside = inside & jnp.concatenate(mlvl_valid_flags)
+            assigned = jnp.where(inside, assigned, -1)
+
+        matched = jnp.clip(assigned - 1, 0, max(g - 1, 0))
+        if gt_labels is not None:
+            labels = jnp.where(assigned > 0, gt_labels[matched], -1)
+        else:
+            labels = jnp.full((k,), -1, jnp.int32)
+        return AssignResult(assigned, jnp.zeros((k,), jnp.float32), labels)
 
 
 @BBOX_ASSIGNERS.register_module()

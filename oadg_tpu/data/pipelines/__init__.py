@@ -8,6 +8,7 @@ from .loading import (FilterAnnotations, LoadAnnotations, LoadImageFromFile,
 from .transforms import (Corrupt, InstaBoost, Normalize, Pad,
                          PhotoMetricDistortion, RandomCrop, RandomFlip,
                          Resize)
+from .albu import Albu
 from .mosaic_mixup import MixUp, Mosaic, MultiImageMixDataset, RandomAffine
 from .oa_mix import OAMix
 from .augmix import AugMix

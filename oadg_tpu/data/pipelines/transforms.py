@@ -643,17 +643,6 @@ class RandomCenterCropPad:
 
 
 @PIPELINES.register_module()
-class Albu:
-    """Albumentations wrapper (reference transforms.py Albu). The package is
-    not in this image; constructing this op raises with a clear message."""
-
-    def __init__(self, *a, **kw):
-        raise ImportError(
-            "albumentations is not available in this environment; replace "
-            "the Albu pipeline op with in-repo transforms")
-
-
-@PIPELINES.register_module()
 class InstaBoost:
     """Instance crop-jitter-paste augmentation (reference
     pipelines/instaboost.py:8, which wraps the ``instaboostfast``

@@ -102,7 +102,11 @@ class EpochBasedRunner:
         self.lr_fn = sched
 
         if init_variables is None:
-            batch = self._first_batch()
+            batch = dict(self._first_batch())
+            if "img" not in batch:
+                # norm-on-device collate ships only the uint8 img_raw;
+                # params are shape-driven, so any f32 view works for init
+                batch["img"] = batch["img_raw"].astype(np.float32)
             init_variables = jax.jit(
                 lambda rngs, b: detector.init(rngs, b, "train"))(
                 {"params": jax.random.PRNGKey(seed),

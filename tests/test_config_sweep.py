@@ -35,8 +35,6 @@ def test_config_builds(cfg_path):
             if t == "MultiScaleFlipAug":
                 check_pipeline(op.get("transforms"))
                 continue
-            if t == "Albu":      # gated: albumentations not in this image
-                continue
             built = build_from_cfg(op, PIPELINES)
             assert built is not None, t
 

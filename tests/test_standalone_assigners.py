@@ -135,9 +135,118 @@ def test_simota_assigner_positive_count_and_location():
     assert ((priors[pos, 1] > 24) & (priors[pos, 1] < 72)).all()
 
 
-def test_region_assigner_raises_loudly():
-    with pytest.raises(NotImplementedError):
-        RegionAssigner().assign(None, None, None, None)
+def _region_assign_reference(mlvl_anchors, gt_bboxes, featmap_sizes,
+                             anchor_scale, anchor_strides, img_shape,
+                             center_ratio=0.2, ignore_ratio=0.5,
+                             allowed_border=0):
+    """Literal numpy port of reference region_assigner.py:58 (the
+    sequential per-gt loop, ordered overwrites and all)."""
+    def calc_region(bbox, ratio, stride, fs):
+        f = bbox / stride
+        x1 = np.clip(np.round((1 - ratio) * f[0] + ratio * f[2]), 0, fs[1])
+        y1 = np.clip(np.round((1 - ratio) * f[1] + ratio * f[3]), 0, fs[0])
+        x2 = np.clip(np.round(ratio * f[0] + (1 - ratio) * f[2]), 0, fs[1])
+        y2 = np.clip(np.round(ratio * f[1] + (1 - ratio) * f[3]), 0, fs[0])
+        return x1, y1, x2, y2
+
+    def inside(anchors, stride, region):
+        x1, y1, x2, y2 = region
+        f = anchors / stride
+        x = (f[:, 0] + f[:, 2]) / 2
+        y = (f[:, 1] + f[:, 3]) / 2
+        return (x >= x1) & (x <= x2) & (y >= y1) & (y <= y2)
+
+    num_lvls = len(mlvl_anchors)
+    r1 = (1 - center_ratio) / 2
+    r2 = (1 - ignore_ratio) / 2
+    scale = np.sqrt((gt_bboxes[:, 2] - gt_bboxes[:, 0])
+                    * (gt_bboxes[:, 3] - gt_bboxes[:, 1]))
+    min_sz = anchor_scale * anchor_strides[0]
+    tgt = np.clip(np.floor(np.log2(scale) - np.log2(min_sz) + 0.5),
+                  0, num_lvls - 1).astype(int)
+    assigned = [np.zeros(a.shape[0], np.int64) for a in mlvl_anchors]
+    adj = [np.zeros(a.shape[0], bool) for a in mlvl_anchors]
+    for gi in range(len(gt_bboxes)):
+        lvl = tgt[gi]
+        box = gt_bboxes[gi]
+        s, fs, a = anchor_strides[lvl], featmap_sizes[lvl], mlvl_anchors[lvl]
+        assigned[lvl][inside(a, s, calc_region(box, r2, s, fs))] = -1
+        assigned[lvl][inside(a, s, calc_region(box, r1, s, fs))] = gi + 1
+        for d in (lvl - 1, lvl + 1):
+            if 0 <= d < num_lvls:
+                ds, dfs, da = (anchor_strides[d], featmap_sizes[d],
+                               mlvl_anchors[d])
+                adj[d] |= inside(da, ds, calc_region(box, r2, ds, dfs))
+    flat = np.concatenate(assigned)
+    flat[np.concatenate(adj)] = -1
+    fa = np.concatenate(mlvl_anchors)
+    out = ((fa[:, 0] < -allowed_border) | (fa[:, 1] < -allowed_border)
+           | (fa[:, 2] >= img_shape[1] + allowed_border)
+           | (fa[:, 3] >= img_shape[0] + allowed_border))
+    flat[out] = -1
+    return flat
+
+
+def test_region_assigner_matches_reference_port():
+    rng = np.random.RandomState(3)
+    strides = (8, 16, 32)
+    featmap_sizes = [(16, 16), (8, 8), (4, 4)]
+    mlvl_anchors = []
+    for s, (fh, fw) in zip(strides, featmap_sizes):
+        xs, ys = np.meshgrid(np.arange(fw) * s + s / 2,
+                             np.arange(fh) * s + s / 2)
+        c = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+        mlvl_anchors.append(np.concatenate([c - 2 * s, c + 2 * s], -1))
+    # gts across scales, incl. overlapping ones (order-dependent overwrite)
+    gt = np.array([[10, 10, 60, 56], [16, 12, 50, 60],
+                   [4, 4, 120, 120], [70, 70, 100, 92]], np.float32)
+    labels = np.array([2, 0, 1, 3], np.int32)
+    want = _region_assign_reference(mlvl_anchors, gt, featmap_sizes, 4,
+                                    strides, img_shape=(128, 128))
+    a = RegionAssigner(center_ratio=0.2, ignore_ratio=0.5)
+    res = a.assign([jnp.asarray(x) for x in mlvl_anchors], jnp.asarray(gt),
+                   featmap_sizes=featmap_sizes, anchor_scale=4,
+                   anchor_strides=strides, img_shape=(128, 128),
+                   gt_labels=jnp.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(res.gt_inds), want)
+    # labels follow the 1-based codes
+    pos = want > 0
+    np.testing.assert_array_equal(np.asarray(res.labels)[pos],
+                                  labels[want[pos] - 1])
+    assert (np.asarray(res.labels)[~pos] == -1).all()
+
+
+def test_region_assigner_gt_valid_mask_and_jit():
+    """Padded gt slots must not affect the result, under jit; the masked
+    assignment equals the reference port run on the valid gts alone."""
+    import jax
+    strides = (8, 16, 32)
+    featmap_sizes = [(16, 16), (8, 8), (4, 4)]
+    mlvl_anchors_np = []
+    for s, (fh, fw) in zip(strides, featmap_sizes):
+        xs, ys = np.meshgrid(np.arange(fw) * s + s / 2,
+                             np.arange(fh) * s + s / 2)
+        c = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+        mlvl_anchors_np.append(np.concatenate([c - 2 * s, c + 2 * s], -1))
+    mlvl_anchors = [jnp.asarray(x) for x in mlvl_anchors_np]
+    gt = jnp.asarray([[10, 10, 60, 56], [40, 30, 110, 100],
+                      [0, 0, 1, 1], [0, 0, 1, 1]], jnp.float32)
+    gtv = jnp.asarray([True, True, False, False])
+    # wider center region than the default so the tiny fixture grid gets
+    # genuine positives (0.2 rounds to empty regions at these scales)
+    a = RegionAssigner(center_ratio=0.5)
+
+    @jax.jit
+    def run(gt, gtv):
+        return a.assign(mlvl_anchors, gt, gt_valid=gtv,
+                        featmap_sizes=featmap_sizes, anchor_scale=4,
+                        anchor_strides=strides, img_shape=(128, 128))
+    res = run(gt, gtv)
+    want = _region_assign_reference(
+        mlvl_anchors_np, np.asarray(gt)[:2], featmap_sizes, 4, strides,
+        img_shape=(128, 128), center_ratio=0.5)
+    np.testing.assert_array_equal(np.asarray(res.gt_inds), want)
+    assert (want > 0).any(), "fixture produced no positives"
 
 
 def test_approx_max_iou_assigner_group_max():

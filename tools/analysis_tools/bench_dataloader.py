@@ -133,7 +133,8 @@ def main():
     n_samples = 0
     for _ in range(args.epochs):
         for batch in loader:
-            n_samples += batch["img"].shape[0]
+            # norm-on-device collate ships only the uint8 img_raw
+            n_samples += batch.get("img", batch["img_raw"]).shape[0]
     dt = time.time() - t0
     out = {
         "metric": "host_loader_samples_per_sec",

@@ -40,7 +40,8 @@ def main():
     else:
         batch = _train_batch_device(b, h, w, g=16, raw=True)
         preprocess = make_oadg_preprocess(dict(cfg.oamix_config),
-                                          dict(cfg.img_norm_cfg))
+                                          dict(cfg.img_norm_cfg),
+                                          out_dtype=jnp.bfloat16)
 
     init_batch = _train_batch(num_views, 64, 64, g=4)
     variables = jax.jit(lambda rngs, bb: det.init(rngs, bb, "train"))(
