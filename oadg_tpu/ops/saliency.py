@@ -6,11 +6,19 @@ mmdet/datasets/pipelines/oa_mix.py:108-110). Follows the OpenCV
 implementation (Hou & Zhang, CVPR'07 as implemented in opencv_contrib
 saliencySpecializedClasses.cpp):
 
-1. resize input to 64x64, convert to grayscale;
-2. FFT -> log-amplitude; spectral residual = log-amp − 3x3 box blur;
+1. convert to grayscale, resize to 64x64;
+2. FFT -> log(amplitude + 1); spectral residual = log-amp − 3x3 box blur;
 3. recombine exp(residual) with the original phase, inverse FFT;
-4. squared magnitude -> GaussianBlur(ksize=(5,5), sigma=8) -> min-max
-   normalize to [0, 1].
+4. magnitude -> GaussianBlur(ksize=(5,5), sigma=8) -> square -> divide
+   by the max.
+
+Each constant and the op order were pinned by disassembling
+libopencv_saliency.so 4.6.0 (the naive paper reading differs: contrib
+adds 1 before the log, blurs BEFORE squaring, and never subtracts the
+min when normalizing); the host-side transcription
+(data/pipelines/oa_mix_host._spectral_saliency_map) reproduces contrib
+bit-exactly and this kernel matches it up to f32/bilinear-resize
+differences.
 
 OA-Mix reduces the map to ``mean(uint8(map*255))`` per box and gates on
 ``score <= 10``; the mean is taken here over the 64x64 map (the reference
@@ -76,20 +84,27 @@ def crop_resize_gray(img: jnp.ndarray, box: jnp.ndarray,
 
 
 def spectral_residual_saliency(gray64: jnp.ndarray) -> jnp.ndarray:
-    """(64, 64) grayscale -> (64, 64) saliency map in [0, 1]."""
+    """(64, 64) grayscale -> (64, 64) saliency map in [0, 1].
+
+    Matches OpenCV-contrib 4.6.0's computeSaliencyImpl step for step
+    (confirmed by disassembly; see oa_mix_host._spectral_saliency_map,
+    the bit-exact host transcription): ``log(magnitude + 1)``, 3x3 box
+    blur of the log-amplitude, recombine with the phase, |idft|,
+    GaussianBlur(ksize=5, sigma=8) FIRST then square, and normalize by
+    dividing by the max (contrib divides by maxVal; it never subtracts
+    the min)."""
     f = jnp.fft.fft2(gray64.astype(jnp.float32))
     mag = jnp.abs(f)
     phase = jnp.angle(f)
-    log_amp = jnp.log(jnp.maximum(mag, 1e-12))
+    log_amp = jnp.log1p(mag)
     blurred = box_blur3(log_amp[..., None])[..., 0]
     residual = log_amp - blurred
     combined = jnp.exp(residual) * jnp.exp(1j * phase)
-    sal = jnp.abs(jnp.fft.ifft2(combined)) ** 2
+    sal = jnp.abs(jnp.fft.ifft2(combined))
     k = gaussian_kernel1d(8.0, 5)
     sal = _sep_conv(sal[..., None], k, k)[..., 0]
-    lo = jnp.min(sal)
-    hi = jnp.max(sal)
-    return (sal - lo) / jnp.maximum(hi - lo, 1e-12)
+    sal = sal * sal
+    return sal / jnp.maximum(jnp.max(sal), 1e-30)
 
 
 def saliency_score(img: jnp.ndarray, box: jnp.ndarray,

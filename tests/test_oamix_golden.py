@@ -223,3 +223,56 @@ def test_full_oamix_composed_golden(ref_mod):
     # means an algorithmic divergence
     assert diff.max() <= 2, f"max diff {diff.max()}"
     assert float((diff > 1).mean()) < 0.01
+
+
+# ---- vendored contrib golden fixtures --------------------------------------
+# Scores computed ONCE with the real cv2-contrib 4.6.0
+# StaticSaliencySpectralResidual (the class the reference instantiates at
+# oa_mix.py:108) on the deterministic crops below, then vendored as plain
+# numbers so the pin runs on builds without contrib (VERDICT r3 item 9).
+# The oracle reproduces contrib bit-exactly (map max-err ~8e-7 in f32);
+# scores matched to 0.0 when vendored. Tolerance covers platform fp noise.
+
+def _vendored_crops():
+    crops = []
+    rs = np.random.RandomState(20260819)
+    for (h, w) in [(64, 64), (17, 23), (128, 96), (200, 300), (50, 120),
+                   (33, 177)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad = (xx * 255.0 / max(w - 1, 1) * 0.5
+                + yy * 255.0 / max(h - 1, 1) * 0.5)
+        img = grad[..., None] * np.array([1.0, 0.8, 0.6])
+        img += rs.randn(h, w, 3) * 20
+        img[h // 4:h // 2, w // 4:w // 2] += 80
+        crops.append(np.clip(img, 0, 255).astype(np.uint8))
+    crops.append(rs.randint(0, 256, (77, 91, 3), np.uint8))
+    crops.append(np.full((40, 60, 3), 128, np.uint8)
+                 + rs.randint(0, 3, (40, 60, 3)).astype(np.uint8))
+    return crops
+
+
+# cv2.saliency.StaticSaliencySpectralResidual 4.6.0 scores, one per crop
+_VENDORED_SCORES = [
+    73.096923828125, 35.687979539641944, 55.619466145833336, 54.18255,
+    55.16766666666667, 29.48587570621469, 111.61823890395318, 247.91625,
+]
+
+
+def test_saliency_vendored_contrib_golden():
+    """Host oracle vs vendored real-contrib scores — runs everywhere."""
+    from oadg_tpu.data.pipelines.oa_mix_host import _spectral_saliency_score
+    for crop, want in zip(_vendored_crops(), _VENDORED_SCORES):
+        got = _spectral_saliency_score(crop)
+        assert abs(got - want) < 0.01, (crop.shape, got, want)
+
+
+def test_saliency_device_vendored_golden():
+    """Device FFT kernel vs the vendored contrib score on the 64x64 crop
+    (no resize in play, so only f32 + gray-conversion noise remains)."""
+    import jax.numpy as jnp
+    from oadg_tpu.ops.saliency import spectral_residual_saliency
+    crop = _vendored_crops()[0]
+    gray = cv2.cvtColor(crop, cv2.COLOR_BGR2GRAY)
+    m = np.asarray(spectral_residual_saliency(jnp.asarray(gray, jnp.float32)))
+    got = float(np.mean(np.floor(m * 255.0)))
+    assert abs(got - _VENDORED_SCORES[0]) < 1.0, got

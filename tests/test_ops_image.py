@@ -121,17 +121,20 @@ def test_resize_bilinear_matches_cv2():
 
 
 def _spectral_residual_np(gray64):
-    """Straight numpy port of the OpenCV-contrib algorithm for testing."""
+    """Straight numpy port of the OpenCV-contrib 4.6.0 algorithm for
+    testing (log(mag+1), blur-then-square, divide-by-max — see
+    oa_mix_host._spectral_saliency_map for the disassembly-pinned
+    details)."""
     f = np.fft.fft2(gray64.astype(np.float64))
     mag, phase = np.abs(f), np.angle(f)
-    log_amp = np.log(np.maximum(mag, 1e-12))
+    log_amp = np.log1p(mag)
     pad = np.pad(log_amp, 1, mode="reflect")
     blur = sum(pad[i:i + 64, j:j + 64] for i in range(3) for j in range(3)) / 9.0
-    sal = np.abs(np.fft.ifft2(np.exp(log_amp - blur) * np.exp(1j * phase))) ** 2
+    sal = np.abs(np.fft.ifft2(np.exp(log_amp - blur) * np.exp(1j * phase)))
     k = cv2.getGaussianKernel(5, 8.0)
     sal = cv2.sepFilter2D(sal, -1, k, k)
-    lo, hi = sal.min(), sal.max()
-    return (sal - lo) / max(hi - lo, 1e-12)
+    sal = sal * sal
+    return sal / max(sal.max(), 1e-30)
 
 
 def test_spectral_residual_matches_numpy_reference():
