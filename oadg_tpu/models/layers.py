@@ -78,17 +78,21 @@ class Conv(nn.Module):
 
 
 class _S2DStemConv(nn.Module):
-    """7x7/s2 stem conv computed as an EXACT 2x2 space-to-depth conv.
+    """7x7/s2 stem conv computed as an EXACT W-only space-to-depth conv.
 
     C_in=3 occupies 3 of the MXU's 128 reduction lanes: the stem was the
     single slowest conv of the flagship step (10.5 ms, ~4% MFU — every
-    other conv profiles at 80-90%). Folding a 2x2 space-to-depth into
-    both input and kernel (the MLPerf ResNet trick) yields a 4x4/s1 conv
-    with C_in=12 — same math, reassociated: out[i,j] taps
-    x[2i+dy-3, 2j+dx-3] for dy,dx in [0,7), and over a front-zero-padded
-    8x8 kernel the tap index factors as dy+1 = 2a+p with a in [0,4),
-    p in {0,1} — exactly the (block, phase) decomposition of the
-    space-to-depth layout.
+    other conv profiles at 80-90%). Folding the W axis into channels
+    (a 1x2 space-to-depth) yields a 7x4/s(2,1) conv with C_in=6 — same
+    math, reassociated: out[i,j] taps x[2i+dy-3, 2j+dx-3] for dy,dx in
+    [0,7); over a front-zero-padded kernel W of 8 the tap index factors
+    as dx+1 = 2t+s with t in [0,4), s in {0,1}. Unlike the full 2x2 fold
+    (4x4/s1, C_in=12), the input relayout here is a FREE reshape —
+    adjacent w pairs are contiguous in NHWC, so (B,H,W,C)->(B,H,W/2,2C)
+    moves no data, while the 2x2 fold's H interleave cost a measured
+    ~17 ms relayout at flagship shapes vs ~13.5 ms total for this form
+    (tools/misc/bench_s2d.py; H stays a strided conv axis, which the MXU
+    handles at full rate).
 
     The parameter keeps the reference (7, 7, C, F) shape and the flax
     param path ``.../Conv_0/kernel`` — checkpoints, the torch converter
@@ -113,19 +117,16 @@ class _S2DStemConv(nn.Module):
         # (a bf16 image then computes in f32, exactly like the nn.Conv
         # fallback would) instead of silently adopting x.dtype.
         dtype = self.dtype or jnp.promote_types(x.dtype, kern.dtype)
-        # kernel: (7,7,cin,F) -> zero row/col at the FRONT -> (8,8,cin,F)
-        # -> (a,p,b,q,cin,F) -> (a,b, p*q*cin, F)
-        kp = jnp.pad(kern, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        k2 = kp.reshape(4, 2, 4, 2, cin, f).transpose(0, 2, 1, 3, 4, 5)
-        k2 = k2.reshape(4, 4, 4 * cin, f).astype(dtype)
-        # input: (B,H,W,C) -> (B,H/2,W/2, p*q*C), channel order (p,q,c)
+        # kernel: (7,7,cin,F) -> zero col at the FRONT of W -> (7,8,cin,F)
+        # -> (7, t, s*cin, F): adjacent W taps fold into channel pairs
+        kp = jnp.pad(kern, ((0, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = kp.reshape(7, 4, 2 * cin, f).astype(dtype)
+        # input: (B,H,W,C) -> (B,H,W/2, s*C) — free reshape in NHWC
         b, h, w, _ = x.shape
-        x2 = x.reshape(b, h // 2, 2, w // 2, 2, cin)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
-                                                    4 * cin)
+        x2 = x.reshape(b, h, w // 2, 2 * cin)
         y = jax.lax.conv_general_dilated(
-            x2.astype(dtype), k2, window_strides=(1, 1),
-            padding=((2, 1), (2, 1)),
+            x2.astype(dtype), k2, window_strides=(2, 1),
+            padding=((3, 3), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias",

@@ -192,16 +192,15 @@ def test_full_oamix_composed_golden(ref_mod):
     from oadg_tpu.data.pipelines.oa_mix_host import oamix_host
     if not hasattr(cv2, "saliency"):
         # this build has no cv2-contrib: give the reference the oracle's
-        # spectral-residual reimplementation (its own parity is asserted
-        # in test_saliency_golden wherever contrib exists) so the rest of
-        # the composed chain can be compared
+        # spectral-residual transcription (bit-exact vs real contrib
+        # 4.6.0 — see test_saliency_vendored_contrib_golden) so the rest
+        # of the composed chain can be compared
         from oadg_tpu.data.pipelines.oa_mix_host import (
-            _spectral_saliency_score)
+            _spectral_saliency_map)
 
         class _Sal:
             def computeSaliency(self, im):
-                s = _spectral_saliency_score(im) / 255.0
-                return True, np.full(im.shape[:2], s, np.float32)
+                return True, _spectral_saliency_map(im)
 
         cv2.saliency = types.SimpleNamespace(
             StaticSaliencySpectralResidual_create=lambda: _Sal())
