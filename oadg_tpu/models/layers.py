@@ -56,7 +56,11 @@ class Conv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_scale=None, out_bias=None):
+        """out_scale/out_bias: optional per-output-channel affine folded
+        INTO the conv (y = conv(x, K*s) + (bias*s + b)) — used to absorb a
+        frozen BatchNorm so no separate x*w+b pass touches the activation
+        tensor in HBM (see FrozenBN affine_only / resnet.py block fold)."""
         k = _pair(self.kernel_size)
         p = _pair(self.padding)
         kw = {}
@@ -70,11 +74,60 @@ class Conv(nn.Module):
             # ResNet-family stem: see _S2DStemConv. Param path/shape is
             # identical to the nn.Conv branch (name="Conv_0").
             return _S2DStemConv(self.features, use_bias=self.use_bias,
-                                dtype=self.dtype, name="Conv_0", **kw)(x)
+                                dtype=self.dtype, name="Conv_0",
+                                **kw)(x, out_scale, out_bias)
+        if out_scale is not None:
+            return _AffineFoldConv(
+                self.features, k, _pair(self.stride),
+                ((p[0], p[0]), (p[1], p[1])), _pair(self.dilation),
+                use_bias=self.use_bias, dtype=self.dtype, name="Conv_0",
+                **kw)(x, out_scale, out_bias)
         return nn.Conv(self.features, k, strides=_pair(self.stride),
                        padding=[(p[0], p[0]), (p[1], p[1])],
                        kernel_dilation=_pair(self.dilation),
                        use_bias=self.use_bias, dtype=self.dtype, **kw)(x)
+
+
+class _AffineFoldConv(nn.Module):
+    """Conv2d with a per-output-channel affine folded into the kernel.
+
+    conv(x, K) * s + b == conv(x, K * s) + b exactly (s is per-OUTPUT
+    channel, a linear map commutes with it); folding moves the affine from
+    two full-activation HBM passes (mul + add, plus their backward) onto
+    the (kh, kw, cin, cout) kernel — a few thousand FLOPs. Param path and
+    shape match the nn.Conv branch (``Conv_0/kernel``) so checkpoints,
+    converters and init distributions are untouched."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    kernel_init: Any = None
+    bias_init: Any = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, out_scale, out_bias):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kern = self.param("kernel",
+                          self.kernel_init or nn.initializers.lecun_normal(),
+                          (kh, kw, cin, self.features))
+        dtype = self.dtype or jnp.promote_types(x.dtype, kern.dtype)
+        s = out_scale.astype(jnp.float32)
+        kf = (kern.astype(jnp.float32) * s[None, None, None, :]).astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kf, window_strides=self.strides,
+            padding=tuple(self.padding), rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b = out_bias.astype(jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias",
+                              self.bias_init or nn.initializers.zeros,
+                              (self.features,))
+            b = b + bias.astype(jnp.float32) * s
+        return y + b.astype(dtype)
 
 
 class _S2DStemConv(nn.Module):
@@ -105,7 +158,7 @@ class _S2DStemConv(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_scale=None, out_bias=None):
         cin = x.shape[-1]
         f = self.features
         kern = self.param(
@@ -120,6 +173,8 @@ class _S2DStemConv(nn.Module):
         # kernel: (7,7,cin,F) -> zero col at the FRONT of W -> (7,8,cin,F)
         # -> (7, t, s*cin, F): adjacent W taps fold into channel pairs
         kp = jnp.pad(kern, ((0, 0), (1, 0), (0, 0), (0, 0)))
+        if out_scale is not None:     # fold a frozen-BN scale (see Conv)
+            kp = kp.astype(jnp.float32) * out_scale.astype(jnp.float32)
         k2 = kp.reshape(7, 4, 2 * cin, f).astype(dtype)
         # input: (B,H,W,C) -> (B,H,W/2, s*C) — free reshape in NHWC
         b, h, w, _ = x.shape
@@ -128,11 +183,19 @@ class _S2DStemConv(nn.Module):
             x2.astype(dtype), k2, window_strides=(2, 1),
             padding=((3, 3), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        badd = None
         if self.use_bias:
             bias = self.param("bias",
                               self.bias_init or nn.initializers.zeros,
                               (f,))
-            y = y + bias.astype(dtype)
+            badd = bias.astype(jnp.float32)
+            if out_scale is not None:
+                badd = badd * out_scale.astype(jnp.float32)
+        if out_bias is not None:
+            badd = (out_bias.astype(jnp.float32) if badd is None
+                    else badd + out_bias.astype(jnp.float32))
+        if badd is not None:
+            y = y + badd.astype(dtype)
         return y
 
 
@@ -168,12 +231,28 @@ class FrozenBN(nn.Module):
     momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
+    def __call__(self, x, affine_only: bool = False,
+                 channels: Optional[int] = None):
+        """affine_only=True: don't consume an activation — return the
+        equivalent per-channel ``(w, b)`` f32 pair (y = x*w + b) so the
+        caller can fold it into the producing conv's kernel/bias
+        (``Conv(..., out_scale=w, out_bias=b)``). Only valid in frozen
+        (stored-statistics) mode; params/variables are created exactly as
+        in the apply path so checkpoints and freeze masks are unchanged."""
+        c = channels if affine_only else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         mean = self.variable("batch_stats", "mean", jnp.zeros, (c,))
         var = self.variable("batch_stats", "var", jnp.ones, (c,))
+        if affine_only:
+            if not self.frozen:
+                raise ValueError("affine_only fold requires frozen BN "
+                                 "(live BN statistics depend on the conv "
+                                 "output)")
+            inv = jax.lax.rsqrt(var.value.astype(jnp.float32) + self.eps)
+            w = scale.astype(jnp.float32) * inv
+            b = bias.astype(jnp.float32) - mean.value.astype(jnp.float32) * w
+            return w, b
         dt = self.dtype or x.dtype
         live = ((not self.frozen) and not self.is_initializing()
                 and self.is_mutable_collection("batch_stats"))
@@ -233,8 +312,12 @@ def build_norm(norm_cfg: Optional[dict], dtype=None) -> Callable:
         frozen = bool(norm_cfg.get("_eval", False))
         eps = float(norm_cfg.get("eps", 1e-5))
         mom = 1.0 - float(norm_cfg.get("momentum", 0.1))
-        return lambda **kw: FrozenBN(dtype=dtype, frozen=frozen, eps=eps,
+        fact = lambda **kw: FrozenBN(dtype=dtype, frozen=frozen, eps=eps,
                                      momentum=mom, **kw)
+        # frozen BN is a pure per-channel affine -> callers may fold it
+        # into the preceding conv (FrozenBN affine_only / Conv out_scale)
+        fact.folds_affine = frozen
+        return fact
     if t == "GN":
         ng = norm_cfg.get("num_groups", 32)
         return lambda **kw: GroupNorm32(num_groups=ng, dtype=dtype, **kw)

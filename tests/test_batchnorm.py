@@ -158,3 +158,51 @@ def test_train_step_carries_batch_stats():
     # moving stats moved away from init (mean 0/var 1)
     leaf = jax.tree_util.tree_leaves(stats)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaf)
+
+
+def test_frozen_bn_fold_matches_unfused_resnet():
+    """conv_norm folds the frozen-BN affine into the conv kernel
+    (models/layers.py Conv out_scale); the folded forward must equal the
+    plain conv->affine sequence to f32 reassociation tolerance, with an
+    IDENTICAL parameter tree (paths, shapes, creation order)."""
+    import flax
+    from oadg_tpu.models.backbones import resnet as R
+    from oadg_tpu.models.layers import Conv
+
+    m = R.ResNet(depth=50, num_stages=2, out_indices=(0, 1), norm_eval=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v0 = m.init(jax.random.PRNGKey(1), x)
+    # randomize stats + BN affine so the fold is non-trivial
+    flat = flax.traverse_util.flatten_dict(v0, sep="/")
+    key = jax.random.PRNGKey(7)
+    for p in list(flat):
+        k = jax.random.fold_in(key, hash(p) % (2 ** 31))
+        r = jax.random.normal(k, flat[p].shape, flat[p].dtype) * 0.3
+        if "batch_stats" in p and p.endswith("var"):
+            flat[p] = jnp.abs(r) + 0.5
+        elif "batch_stats" in p and p.endswith("mean"):
+            flat[p] = r
+        elif "FrozenBN" in p or "downsample_bn" in p:
+            flat[p] = r + 1.0
+    v = flax.traverse_util.unflatten_dict(flat, sep="/")
+    y_fold = m.apply(v, x)
+
+    def unfused(x, feats, k, s, p, norm, dtype, cname, *, dilation=1,
+                bn_name=None):
+        conv = Conv(feats, k, s, p, dilation=dilation, use_bias=False,
+                    dtype=dtype, name=cname)
+        nkw = {"name": bn_name} if bn_name else {}
+        return norm(**nkw)(conv(x))
+
+    orig = R.conv_norm
+    R.conv_norm = unfused
+    try:
+        v0u = m.init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(v0u)
+                == jax.tree_util.tree_structure(v0))
+        y_ref = m.apply(v, x)
+    finally:
+        R.conv_norm = orig
+    for a, b in zip(y_fold, y_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-4)
