@@ -334,3 +334,23 @@ def test_multiclass_soft_nms_path():
     assert np.all(np.diff(d[:, 4]) <= 1e-6)
     assert np.all(d[:, 4] > 0) and np.all(d[:, 4] <= 1)
     assert np.all(np.asarray(labels)[v] >= 0)
+
+
+def test_topk_large_matches_plain_topk():
+    """topk_large is EXACTLY lax.top_k (values and indices), including the
+    padded-tail case and the small-n fallback."""
+    from oadg_tpu.core.bbox.assign_sample import topk_large
+    rng = np.random.RandomState(3)
+    for n, k in [(523776, 256), (524288, 128), (200000, 256), (70000, 1000),
+                 (1000, 16)]:
+        x = jnp.asarray(rng.rand(n).astype(np.float32))
+        v0, i0 = jax.lax.top_k(x, k)
+        v1, i1 = jax.jit(lambda x: topk_large(x, k))(x)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # duplicate values: tie order (ascending index) must match too
+    x = jnp.asarray(np.tile(rng.rand(1024).astype(np.float32), 128))
+    v0, i0 = jax.lax.top_k(x, 64)
+    v1, i1 = jax.jit(lambda x: topk_large(x, 64))(x)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
