@@ -31,6 +31,19 @@ def topk_large(scores: jnp.ndarray, k: int, rows: int = 64):
     single-stage partial sort touches the full array per step).
 
     Falls back to plain top_k when n is small or k too large for a row.
+
+    Preconditions (ADVICE r4):
+    - ``scores`` must contain at least k entries > -inf. The tail is
+      padded with -inf; when padded entries win (fewer than k finite
+      candidates) their indices are clipped to n-1 — duplicated indices
+      where lax.top_k would return the true -inf positions. The sole
+      production call site (RandomSampler uniform keys offset to [-2, 1))
+      satisfies this; callers reusing this utility must mask on value.
+    - Tie-order exactness assumes lax.top_k breaks value ties by ascending
+      index. JAX does not formally guarantee this across backends; the
+      tie test in tests/test_core_bbox.py is the CI guard (uniform float
+      keys tie with probability ~0, so sampler impact would be nil even
+      if a backend changed it).
     """
     n = scores.shape[0]
     cols = -(-n // rows)

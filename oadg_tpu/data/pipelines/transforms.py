@@ -651,9 +651,12 @@ class InstaBoost:
     ``aug_ratio``, each masked instance is cut out, its hole inpainted,
     and the instance re-pasted at a jittered position/scale/flip drawn
     from the same parameter ranges the reference configures. The
-    package's appearance-consistency heatmap guidance is NOT replicated
-    (jitter targets are sampled uniformly in the configured ranges) —
-    a documented approximation.
+    package's appearance-consistency heatmap guidance (paper §3.2) is
+    implemented in ``_heatmap_offsets`` and enabled by ``hflag=True``
+    (the package's flag, default False in every reference config):
+    candidate (dx, dy) jitters are drawn from a softmax over background-
+    appearance similarity between the shifted and original box contours
+    instead of uniformly.
     """
 
     def __init__(self, action_candidate=("normal", "horizontal", "skip"),
@@ -669,6 +672,79 @@ class InstaBoost:
         self.color_prob = color_prob
         self.hflag = hflag
         self.aug_ratio = aug_ratio
+
+    @staticmethod
+    def _box_sums(ii, cnt, y1, x1, y2, x2):
+        """Inclusive-exclusive box sums from integral images; coords may be
+        arrays (broadcast) and are clipped to the image."""
+        h = ii.shape[0] - 1
+        w = ii.shape[1] - 1
+        y1 = np.clip(y1, 0, h)
+        y2 = np.clip(y2, 0, h)
+        x1 = np.clip(x1, 0, w)
+        x2 = np.clip(x2, 0, w)
+        s = (ii[y2, x2] - ii[y1, x2] - ii[y2, x1] + ii[y1, x1])
+        n = (cnt[y2, x2] - cnt[y1, x2] - cnt[y2, x1] + cnt[y1, x1])
+        return s, np.maximum(n, 1.0)
+
+    def _heatmap_offsets(self, img, x1, y1, x2, y2):
+        """InstaBoost appearance-consistency heatmap (paper 'InstaBoost',
+        Fang et al. 2019, §3.2 — the guidance behind the package's
+        ``hflag`` used by reference
+        mmdet/datasets/pipelines/instaboost.py:8): each candidate jitter
+        (tx, ty) in the configured window is scored by the similarity of
+        the background appearance in three nested contour rings around
+        the shifted box vs the original box (ring RGB means, decaying
+        weights), and the jitter is sampled from the normalized heatmap.
+        High-contrast boundaries therefore repel paste positions. Rings
+        are evaluated with integral images: the full (2dy+1, 2dx+1)
+        heatmap costs a handful of O(1) lookups per offset."""
+        h, w = img.shape[:2]
+        f = img.astype(np.float64)
+        ii = np.zeros((h + 1, w + 1, 3))
+        ii[1:, 1:] = f.cumsum(0).cumsum(1)
+        cnt = np.zeros((h + 1, w + 1))
+        cnt[1:, 1:] = 1.0
+        cnt = cnt.cumsum(0).cumsum(1)
+        side = max(x2 - x1, y2 - y1)
+        radii = [max(int(side * r), 2) for r in (0.1, 0.25, 0.45)]
+        weights = (0.5, 0.3, 0.2)
+
+        tys = np.arange(-self.dy, self.dy + 1)[:, None]
+        txs = np.arange(-self.dx, self.dx + 1)[None, :]
+
+        def ring_mean(oy, ox):
+            """(offsets..., 3) mean color of each ring around the shifted
+            box; ring k = dilate(r_k) minus dilate(r_{k-1})."""
+            means = []
+            prev_s = prev_n = None
+            inner_s, inner_n = self._box_sums(ii, cnt, y1 + oy, x1 + ox,
+                                              y2 + oy, x2 + ox)
+            prev_s, prev_n = inner_s, inner_n
+            for r in radii:
+                s, n = self._box_sums(ii, cnt, y1 - r + oy, x1 - r + ox,
+                                      y2 + r + oy, x2 + r + ox)
+                ring_n = np.maximum(n - prev_n, 1.0)
+                means.append((s - prev_s) / ring_n[..., None])
+                prev_s, prev_n = s, n
+            return means
+
+        orig = ring_mean(0, 0)
+        cand = ring_mean(tys, txs)
+        dist = np.zeros((tys.shape[0], txs.shape[1]))
+        for wgt, mo, mc in zip(weights, orig, cand):
+            dist += wgt * np.linalg.norm(mc - mo[None, None, :], axis=-1)
+        # keep the shifted box inside the image
+        feas = ((x1 + txs >= 0) & (x2 + txs <= w)
+                & (y1 + tys >= 0) & (y2 + tys <= h))
+        tau = max(np.median(dist[feas]) if feas.any() else 1.0, 1e-3)
+        prob = np.exp(-dist / tau) * feas
+        total = prob.sum()
+        if total <= 0:
+            return 0, 0
+        flat = np.random.choice(prob.size, p=(prob / total).ravel())
+        oy, ox = np.unravel_index(flat, prob.shape)
+        return int(txs[0, ox]), int(tys[oy, 0])
 
     def _paste_one(self, img, mask):
         import cv2
@@ -687,10 +763,14 @@ class InstaBoost:
         pmask = m8[y1:y2, x1:x2].copy()
         # inpaint the hole
         img = cv2.inpaint(img, m8 * 255, 3, cv2.INPAINT_TELEA)
-        # jittered placement
+        # jittered placement: heatmap-guided when hflag (package parity),
+        # uniform otherwise
         s = np.random.uniform(*self.scale)
-        tx = int(np.random.uniform(-self.dx, self.dx))
-        ty = int(np.random.uniform(-self.dy, self.dy))
+        if self.hflag:
+            tx, ty = self._heatmap_offsets(img, x1, y1, x2, y2)
+        else:
+            tx = int(np.random.uniform(-self.dx, self.dx))
+            ty = int(np.random.uniform(-self.dy, self.dy))
         ang = np.random.uniform(*self.theta)
         ph, pw = max(int(pmask.shape[0] * s), 1), max(
             int(pmask.shape[1] * s), 1)

@@ -199,6 +199,30 @@ def test_instaboost_smoke():
     assert (r["img"] != img).any()     # something moved
 
 
+def test_instaboost_heatmap_repels_contrast_boundary():
+    """With hflag=True the appearance-consistency heatmap (InstaBoost
+    paper §3.2) must repel paste positions that cross a high-contrast
+    background boundary: an instance sitting on a uniform dark background
+    next to a bright region should draw its jitter away from the bright
+    side. Ref: mmdet/datasets/pipelines/instaboost.py:8 (hflag)."""
+    from oadg_tpu.data.pipelines.transforms import InstaBoost
+    op = InstaBoost(aug_ratio=1.0, hflag=True, dx=20, dy=20)
+    img = np.full((80, 120, 3), 30, np.uint8)
+    img[:, 70:] = 225                       # bright right half
+    # instance box [30,30]..[58,50]: right edge 28px from the boundary,
+    # so +tx jitters push its contour rings into the bright region
+    x1, y1, x2, y2 = 30, 30, 58, 50
+    rng = np.random.RandomState(3)
+    np.random.seed(3)
+    txs = [op._heatmap_offsets(img, x1, y1, x2, y2)[0] for _ in range(60)]
+    txs = np.asarray(txs)
+    # offsets of +12..+20 put the outer ring deep into the bright region;
+    # the heatmap must make them rare vs the matched-background side
+    assert (txs >= 12).mean() < 0.15, txs
+    assert (txs <= 0).mean() > 0.5, txs
+    del rng
+
+
 def test_generic_roi_extractor_forward():
     """GenericRoIExtractor (reference generic_roi_extractor.py:10): sum
     aggregation over all levels through a StandardRoIHead-shaped call."""

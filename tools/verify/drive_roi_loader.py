@@ -1,5 +1,7 @@
 """Drive script (session verify): RoIAlign exact-pass shrink + the
 normalize-on-device loader contract, end to end on CPU."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np

@@ -1,5 +1,7 @@
 """Drive (session verify): topk_large-backed RandomSampler inside the real
 jitted OA-DG train step, end to end on CPU, plus the large-n exact path."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
