@@ -200,3 +200,75 @@ def test_ignored_gt_match_preference():
     np.testing.assert_allclose(out["bbox_mAP"], 459.0 / 1010.0, atol=1e-9)
     np.testing.assert_allclose(out["AR_s@100"], 0.7, atol=1e-9)
     np.testing.assert_allclose(out["AR@100"], 0.45, atol=1e-9)
+
+
+def test_equal_score_duplicates_stable_order():
+    """Two dets at the SAME score 0.9, input order [FP, TP], one GT.
+
+    pycocotools sorts with np.argsort(-score, kind='mergesort') — STABLE,
+    so equal scores keep input order and the FP is evaluated first:
+      tp=[0,1] -> rc=[0,1], pr=[0,1/2]; envelope [1/2,1/2];
+      searchsorted(rc, thr, 'left') -> index 0 or 1, precision 1/2
+      everywhere -> AP = 0.5 at every IoU threshold.
+    An UNstable sort that floats the TP first would give rc=[1,1],
+    pr=[1,1/2] -> AP = 1.0 — so 0.5 pins the stable tie order.
+    AR@100 = 1.0 (the TP still matches regardless of order).
+    """
+    gts = [{1: (np.array([[0, 0, 10, 10.0]]), np.zeros(1))}]
+    res = [{1: np.array([[200, 200, 10, 10, 0.9],
+                         [0, 0, 10, 10, 0.9]])}]
+    out = _run(gts, res)
+    np.testing.assert_allclose(out["bbox_mAP"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(out["bbox_mAP_50"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(out["AR@100"], 1.0, atol=1e-9)
+
+
+def test_maxdets_truncation_before_area_ignore():
+    """pycocotools truncates each image's dets to maxDets BEFORE matching
+    and BEFORE area-ignore (evaluateImg: dt = dt[0:maxDet]).
+
+    GT: one small box [0,0,10,10] (area 100). Dets: d1 score .9 at
+    [200,200,40,40] (area 1600 — OUT of the small range, unmatched),
+    d2 score .8 exact TP on the GT.
+
+    ALL range, maxDets=100: d1 is in the ALL range -> a real leading FP.
+      tp=[0,1] -> rc=[0,1], pr=[0,1/2] -> AP = 0.5 (every threshold).
+    SMALL range: d1 unmatched AND out of range -> ignored det; d2 TP ->
+      AP_s = 1.0.
+    AR@1 (ALL range): truncation keeps ONLY d1 (higher score), which is
+      a FP -> recall 0. If ignored/FP dets were dropped BEFORE the
+      maxDets cut, d2 would survive and AR@1 would be 1.0 — the 0 pins
+      the truncate-first order. AR@10 keeps both -> 1.0.
+    """
+    gts = [{1: (np.array([[0, 0, 10, 10.0]]), np.zeros(1))}]
+    res = [{1: np.array([[200, 200, 40, 40, 0.9],
+                         [0, 0, 10, 10, 0.8]])}]
+    out = _run(gts, res)
+    np.testing.assert_allclose(out["bbox_mAP"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(out["bbox_mAP_s"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(out["AR@1"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(out["AR@10"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(out["AR@100"], 1.0, atol=1e-9)
+
+
+def test_crowd_ignored_even_inside_area_range():
+    """Crowd gts are ignored by the _ignore flag itself, NOT by area:
+    a crowd gt whose area IS inside the small range must still be
+    ignored there, and a det matching it (crowd IoU = inter/det_area)
+    is an ignored det, not a FP.
+
+    g1 normal [0,0,10,10] (small); g2 CROWD [100,100,20,20] (area 400 —
+    inside the small range). d1 [105,105,10,10] score .9 sits inside the
+    crowd: crowd IoU = 100/100 = 1.0 -> matched -> ignored. d2 TP on g1
+    score .8. Counted GTs = 1 at ALL and at SMALL -> AP = AP_s = 1.0.
+    MEDIUM range: no counted gt anywhere -> category excluded -> -1.
+    """
+    gts = [{1: (np.array([[0, 0, 10, 10.0], [100, 100, 20, 20.0]]),
+                np.array([0.0, 1.0]))}]
+    res = [{1: np.array([[105, 105, 10, 10, 0.9],
+                         [0, 0, 10, 10, 0.8]])}]
+    out = _run(gts, res)
+    np.testing.assert_allclose(out["bbox_mAP"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(out["bbox_mAP_s"], 1.0, atol=1e-9)
+    assert out["bbox_mAP_m"] == -1.0
+    np.testing.assert_allclose(out["AR@100"], 1.0, atol=1e-9)
