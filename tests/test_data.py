@@ -167,3 +167,53 @@ def test_loader_preserves_batch_order_with_slow_workers():
     for _ in range(3):
         seen = np.concatenate([b["idx"] for b in loader])
         np.testing.assert_array_equal(seen, np.arange(16))
+
+
+def test_prefetch_overlaps_host_prep_with_consumer_step():
+    """VERDICT r4 item 3: the loader must PIPELINE — while the consumer
+    spends C seconds on batch i, workers prepare batch i+1, so the
+    sustained per-step time is ~max(C, P_batch/workers), NOT C + P_batch
+    (the reference gets this from torch DataLoader worker processes —
+    mmdet/apis/train.py:98-110; here it is the thread-pool PrefetchLoader).
+
+    Timing is sleep-based (host prep sleeps, consumer sleeps), so the
+    1-vCPU CI host measures scheduling overlap, not compute contention.
+    The non-overlapped floor would be n*(C+P) = 16*0.15s = 2.4s; the
+    pipelined budget asserted is n*max(C, P/2) + one-batch warmup + 50%
+    slack — far below the floor but robust to thread-start jitter."""
+    import time
+    from oadg_tpu.data.builder import PrefetchLoader
+
+    prep = 0.10          # per-BATCH host prep (seconds)
+    step = 0.05          # consumer compute per batch
+    n_batches = 16
+
+    class PrepDataset:
+        flag = np.zeros(2 * n_batches, np.uint8)
+
+        def __len__(self):
+            return 2 * n_batches
+
+        def __getitem__(self, i):
+            time.sleep(prep / 2.0)          # 2 samples per batch
+            return {"idx": np.array([i])}
+
+    loader = PrefetchLoader(PrepDataset(), samples_per_gpu=2,
+                            num_workers=2, shuffle=False, prefetch=4)
+    loader.batcher = lambda samples: {
+        "idx": np.concatenate([s["idx"] for s in samples])}
+
+    t0 = time.perf_counter()
+    count = 0
+    for _ in loader:
+        time.sleep(step)                    # the "train step"
+        count += 1
+    elapsed = time.perf_counter() - t0
+    assert count == n_batches
+    serial = n_batches * (step + prep)
+    pipelined = n_batches * max(step, prep / 2.0) + prep
+    assert elapsed < pipelined * 1.5, (
+        f"no overlap: {elapsed:.2f}s vs pipelined bound "
+        f"{pipelined:.2f}s (serial floor {serial:.2f}s)")
+    # sanity: can't be faster than the dominant stage
+    assert elapsed > n_batches * max(step, prep / 2.0) * 0.8

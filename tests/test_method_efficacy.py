@@ -145,6 +145,13 @@ def _eval(cfg_path, ckpt):
     return metrics
 
 
+# Strictly positive mPC margin the gate enforces (VERDICT r4 item 4).
+# Chosen below the smallest margin measured across seeds 0/1 on this
+# fixture (see EFFICACY.json + STATUS.md "Method-efficacy numbers"):
+# a tie or sub-margin win now FAILS the gate.
+MPC_MARGIN = float(os.environ.get("OADG_EFFICACY_MARGIN", "0.05"))
+
+
 @pytest.mark.slow
 def test_oadg_beats_standard_on_corruption_robustness(tmp_path):
     _sanity_check_templates()
@@ -152,11 +159,13 @@ def test_oadg_beats_standard_on_corruption_robustness(tmp_path):
     root.mkdir()
     make_dataset(root)
     epochs = int(os.environ.get("OADG_EFFICACY_EPOCHS", "12"))
+    seed = int(os.environ.get("OADG_EFFICACY_SEED", "0"))
 
     results = {}
     for name, template, num_views in (
             ("standard", STANDARD_TEMPLATE, 1),
             ("oadg", CONFIG_TEMPLATE, 2)):
+        template = _checked_replace(template, "seed = 0", f"seed = {seed}")
         cfg_path = _write_cfg(tmp_path, f"{name}_train", template, root,
                               epochs=epochs, num_views=num_views)
         work_dir = str(tmp_path / f"work_{name}")
@@ -171,14 +180,25 @@ def test_oadg_beats_standard_on_corruption_robustness(tmp_path):
     oadg_mpc = float(np.mean([oadg[c] for c in CORRUPTIONS]))
     print(f"standard: clean={std['clean']:.3f} mPC={std_mpc:.3f} {std}")
     print(f"oadg:     clean={oadg['clean']:.3f} mPC={oadg_mpc:.3f} {oadg}")
+    record = dict(seed=seed, epochs=epochs, corruptions=list(CORRUPTIONS),
+                  severity=SEVERITY, standard=std, oadg=oadg,
+                  std_mpc=std_mpc, oadg_mpc=oadg_mpc,
+                  margin=oadg_mpc - std_mpc)
+    out_path = os.environ.get("OADG_EFFICACY_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1)
+    print("EFFICACY_RECORD " + json.dumps(record))
 
     # both must solve the trivial clean task (same gate as the overfit test
     # at mAP50; the standard model is the sanity anchor)
     assert std["clean"] >= 0.8, results
     assert oadg["clean"] >= 0.8, results
-    # the method claim, directionally: OA-DG >= standard under corruption
-    # (reference table1: +6.4 mPC; here any regression fails the gate)
-    assert oadg_mpc >= std_mpc, (
-        f"OA-DG mPC {oadg_mpc:.3f} < standard {std_mpc:.3f}: {results}")
+    # the method claim with a STRICT margin: OA-DG must beat standard
+    # under corruption by at least MPC_MARGIN (reference table1: +6.4 mPC;
+    # a tie no longer passes — VERDICT r4 item 4)
+    assert oadg_mpc >= std_mpc + MPC_MARGIN, (
+        f"OA-DG mPC {oadg_mpc:.3f} < standard {std_mpc:.3f} + "
+        f"margin {MPC_MARGIN}: {results}")
     # and the gap must not come from clean-accuracy collapse
     assert oadg["clean"] >= std["clean"] - 0.15, results
