@@ -69,9 +69,13 @@ def _use_pw_geo() -> bool:
     # (vs the per-pixel XLA gather path). Default ON for TPU since the
     # binary-decomposed-roll kernel + hoisted per-view prep measured
     # 0.525 s/step vs 0.827 on the flagship bench (OAMIX_GEO_PW=0 opts
-    # back into the gather path).
-    return (jax.devices()[0].platform != "cpu"
-            and _os.environ.get("OAMIX_GEO_PW", "1") != "0")
+    # back into the gather path; OAMIX_GEO_PW=force enables the pw MATH
+    # on CPU too — its XLA fallback — so the quantization suite can pin
+    # the production path's 3-shear/blend semantics off-chip).
+    v = _os.environ.get("OAMIX_GEO_PW", "1")
+    if v == "force":
+        return True
+    return jax.devices()[0].platform != "cpu" and v != "0"
 
 
 # ---------------------------------------------------------------- masks ----

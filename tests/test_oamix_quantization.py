@@ -76,7 +76,7 @@ def _draw_table(seed, op_choices):
                        1.0, -1.0).astype(np.float32)
     op_coin = rng.rand(WIDTH, MAXD, SLOTS).astype(np.float32)
     fg_scores = np.full((MAX_FG,), -1.0, np.float32)
-    fg_scores[:len(GT)] = SCORES
+    fg_scores[:len(SCORES)] = SCORES
     mix_us = rng.rand(MAX_FG + MAX_OA).astype(np.float32)
     m_global = np.float32(rng.beta(1.0, 1.0))
     return dict(ml_boxes=ml_boxes, ml_valid=np.ones((MAX_ML,), bool),
@@ -86,10 +86,12 @@ def _draw_table(seed, op_choices):
                 m_global=m_global)
 
 
-def _host_draws(t):
+def _host_draws(t, gt=None, scores=None):
     """Map the slot-indexed device table to the host oracle's sequential
     consumption order."""
-    n_fg = len(GT)
+    if gt is None:
+        gt, scores = GT, SCORES
+    n_fg = len(gt)
     ops = [[[dict(op=int(t["op_idx"][i, d, s]),
                   levels=t["op_level"][i, d, s, :n_fg],
                   signs=t["op_sign"][i, d, s, :n_fg],
@@ -98,22 +100,24 @@ def _host_draws(t):
             for d in range(MAXD)]
            for i in range(WIDTH)]
     # host mixing regions: low-score fg in gt order, then valid oa boxes
-    mix = [t["mix_us"][i] for i in range(n_fg) if SCORES[i] <= 10.0]
+    mix = [t["mix_us"][i] for i in range(n_fg) if scores[i] <= 10.0]
     mix += [t["mix_us"][MAX_FG + j] for j in range(MAX_OA)
             if t["oa_valid"][j]]
     return dict(ws=t["ws"], ml_boxes=[b for b in t["ml_boxes"]],
-                depth=t["depth"], op=ops, fg_scores=SCORES,
+                depth=t["depth"], op=ops, fg_scores=scores,
                 oa_boxes=[b for b, v in zip(t["oa_boxes"], t["oa_valid"])
                           if v],
                 mix_us=np.asarray(mix, np.float32),
                 m_global=t["m_global"])
 
 
-def _device_out(img, t, cfg):
+def _device_out(img, t, cfg, gt_in=None):
+    if gt_in is None:
+        gt_in = GT
     gt = np.zeros((MAX_FG, 4), np.float32)
-    gt[:len(GT)] = GT
+    gt[:len(gt_in)] = gt_in
     gv = np.zeros((MAX_FG,), bool)
-    gv[:len(GT)] = True
+    gv[:len(gt_in)] = True
     dev_draws = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a)[None, None], t)      # (B=1, V-1=1, ...)
     out = oamix_batch(jnp.asarray(img, jnp.float32)[None],
@@ -209,6 +213,73 @@ def test_composed_bg_geo(seed=4):
     diff = np.abs(dev - host)
     frac = float(np.mean(diff <= 2.0))
     assert frac >= 0.99, f"within +-2/255: {frac:.5f}"
+
+
+def _overlap_band(reach: int, gt=None):
+    """Pixels whose output can differ between the device's one-pass
+    argmax warp and the host's sequential per-box blend (the documented
+    oamix_device redesign note 2): anywhere TWO fg masks have support
+    within ``reach`` pixels of each other — the host's later boxes read
+    already-blended content there, the device reads the original image.
+    ``reach`` bounds the warp displacement (severity 10: translate <=
+    extent/3, rotate <= 30 deg)."""
+    sup = np.stack([_device_mask(b)[..., 0] > 0.01
+                    for b in (GT if gt is None else gt)])
+    k = reach
+    dil = []
+    for s in sup:
+        # cheap box dilation via cumulative OR shifts
+        p = np.pad(s, k)
+        acc = np.zeros_like(s)
+        for dy in range(-k, k + 1, max(k // 4, 1)):
+            for dx in range(-k, k + 1, max(k // 4, 1)):
+                acc |= p[k + dy:k + dy + H, k + dx:k + dx + W]
+        dil.append(acc)
+    dil = np.stack(dil)
+    return dil.sum(axis=0) >= 2
+
+
+@pytest.mark.parametrize("geo_pw", ["0", "force"])
+@pytest.mark.parametrize("ops,tol_frac", [((10, 11), 0.995),  # shear/trans
+                                          ((9,), 0.99)])      # rotate
+def test_composed_bbox_geo(monkeypatch, geo_pw, ops, tol_frac):
+    """VERDICT r4 item 5: per-box (bboxes_only) geometric chains pinned
+    at quantization tolerance with the overlap-blend bands masked.
+
+    Both device paths are pinned: the XLA gather path (OAMIX_GEO_PW=0,
+    the CPU default) and the production piecewise-shift math
+    (OAMIX_GEO_PW=force routes the pw 3-shear/blend semantics through
+    its XLA fallback). Shared draws + shared masks isolate the warp
+    arithmetic. The GT layout is two compact, well-separated boxes so
+    the blurred-mask tails don't blanket the whole 256x384 fixture;
+    outside the documented overlap bands (where the host's sequential
+    blend reads already-blended content) outputs must agree to +-2/255
+    on >= tol_frac of pixels (rotate composes 3 lerp stages on the pw
+    path vs one bilinear on the host — slightly looser).
+    Ref: mmdet/datasets/pipelines/bbox_augmentation.py:31-118."""
+    monkeypatch.setenv("OAMIX_GEO_PW", geo_pw)
+    img = _structured_image()
+    gt2 = np.array([[40.0, 30.0, 100.0, 80.0],
+                    [260.0, 170.0, 340.0, 230.0]], np.float32)
+    scores2 = np.array([5.0, 20.0], np.float32)
+    t = _draw_table(11 + ops[0], op_choices=np.asarray(ops))
+    t["fg_scores"] = np.full((MAX_FG,), -1.0, np.float32)
+    t["fg_scores"][:2] = scores2
+    dev = _device_out(img, t, CFG, gt_in=gt2)
+    history = {"fg_mask_list": [_device_mask(b) for b in gt2],
+               "fg_score_list": [float(s) for s in scores2]}
+    host = oamix_host(img, gt2, CFG, history=history,
+                      draws=_host_draws(t, gt=gt2, scores=scores2)
+                      ).astype(np.float32)
+    diff = np.abs(dev - host).max(axis=-1)
+    band = _overlap_band(reach=36, gt=gt2)
+    ok = diff[~band]
+    assert ok.size > 0.5 * diff.size, (
+        f"band masked too much: {band.mean():.3f}")
+    frac = float(np.mean(ok <= 2.0))
+    assert frac >= tol_frac, (
+        f"geo_pw={geo_pw} ops={ops}: within +-2/255 outside bands: "
+        f"{frac:.5f} (band {band.mean():.3f} of image)")
 
 
 def test_draws_none_unchanged():
