@@ -626,16 +626,19 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
             return _pw_translate(img, fg, k, severity, inj)
         return _geo_gather(k, 2)
 
-    # bg geo: family-specific Pallas shear-DMA warps (ops/pallas_warp.py) —
-    # a per-row DMA pass costs ~3.6ms vs ~15ms per XLA gather pass.
+    # bg geo: family-specific Pallas shear warps (ops/pallas_warp.py).
+    # The rgb image and the fg-union alpha are warped by SEPARATE kernel
+    # calls with the same per-row shifts (bit-identical to the old
+    # 4-channel concat, which materialized a 32 MB (H, W, 4) f32 buffer
+    # per execution — the single biggest bg-warp cost).
     h_s, w_s = img.shape[0], img.shape[1]
 
     def _bg_blend(warp_fn, k):
         un = fg.union.astype(jnp.float32)
-        both = jnp.concatenate([img, un[..., None] * 255.0], axis=-1)
-        warped = warp_fn(both, k)
-        maintained = jnp.maximum(un, warped[..., 3] / 255.0)[..., None]
-        out = maintained * img + (1.0 - maintained) * warped[..., :3]
+        warped = warp_fn(img, k)
+        wun = warp_fn(un[..., None] * 255.0, k)
+        maintained = jnp.maximum(un, wun[..., 0] / 255.0)[..., None]
+        out = maintained * img + (1.0 - maintained) * warped
         return jnp.clip(jnp.round(out), 0, 255)
 
     def _lvl_sign(k):

@@ -97,14 +97,78 @@ def _shear_kernel_v3(base_ref, img_ref, resid_ref, frac_ref, out_ref, *,
     out_ref[:, :] = a * (1.0 - frac) + b * frac
 
 
+def _shear_kernel_v4(rollb_ref, img_ref, fs_ref, resid_ref, frac_ref,
+                     out_ref, *, c: int, wc: int):
+    """Pad-free variant: reads the UNPADDED (8, W*C) rows and realigns
+    with CYCLIC rolls; out-of-range taps (including every wrapped lane)
+    are zeroed by an index mask instead of a padded border. Kills the
+    (H, s_len) padded copy the v3 wrapper materialized in HBM — at
+    1024x2048x4 f32 that copy alone was ~56 MB of traffic per pass.
+    Requires W*C % 128 == 0 (the wrapper falls back to v3 otherwise)."""
+    i = pl.program_id(0)
+    tile = img_ref[:, :]
+    t0 = pltpu.roll(tile, shift=rollb_ref[i], axis=1)
+    t = _resid_roll(t0, resid_ref[:, :], wc, MAX_RESID)
+    li = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+    src = li + fs_ref[:, :]                            # (8, WC)
+    f = frac_ref[:, :]
+    a = jnp.where((src >= 0) & (src < wc), t, 0).astype(jnp.float32)
+    b_t = pltpu.roll(t, shift=wc - c, axis=1)
+    b = jnp.where((src + c >= 0) & (src + c < wc), b_t, 0) \
+        .astype(jnp.float32)
+    out_ref[:, :] = (a * (1.0 - f) + b * f).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def shear_rows_v4(img: jnp.ndarray, shifts: jnp.ndarray, fracs: jnp.ndarray,
+                  max_shift: int, interpret: bool = False) -> jnp.ndarray:
+    """Same contract as shear_rows via the pad-free cyclic-roll kernel.
+    Caller guarantees W*C % 128 == 0 (lane-aligned rows)."""
+    h, w, c = img.shape
+    wc = w * c
+    fs = (jnp.clip(shifts, -max_shift, max_shift).astype(jnp.int32)
+          * c)                                          # flat, may be < 0
+    hb = pl.cdiv(h, GROUP_ROWS)
+    grp = fs.reshape(hb, GROUP_ROWS)
+    base = jnp.min(grp, axis=1)                         # (HB,)
+    resid = jnp.clip(grp - base[:, None], 0,
+                     MAX_RESID - 1).reshape(h, 1).astype(jnp.int32)
+    roll_base = ((wc - base) % wc).astype(jnp.int32)
+    kernel = functools.partial(_shear_kernel_v4, c=c, wc=wc)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(hb,),
+            in_specs=[pl.BlockSpec((GROUP_ROWS, wc), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, 1), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, 1), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, 1), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((GROUP_ROWS, wc), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, wc), img.dtype),
+    )(roll_base, img.reshape(h, wc), fs.reshape(h, 1),
+      resid, fracs.astype(jnp.float32).reshape(h, 1))
+    return out.reshape(h, w, c)
+
+
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
 def shear_rows_v3(img: jnp.ndarray, shifts: jnp.ndarray, fracs: jnp.ndarray,
                   max_shift: int, interpret: bool = False) -> jnp.ndarray:
     """Same contract as shear_rows; sublane-parallel kernel (see above).
     Requires the per-row shift to vary by < MAX_RESID within any 8 rows —
-    true for every OA-Mix warp (|slope| <= sin(30deg), c = 3)."""
+    true for every OA-Mix warp (|slope| <= sin(30deg), c = 3).
+    Lane-aligned rows (W*C % 128 == 0 — every production resolution)
+    route to the pad-free v4 kernel."""
     if interpret or jax.devices()[0].platform == "cpu":
         return shear_rows_xla(img, shifts, fracs, max_shift)
+    if (img.shape[1] * img.shape[2]) % 128 == 0:
+        return shear_rows_v4(img, shifts, fracs, max_shift)
     h, w, c = img.shape
     pad = max_shift + 8
     img_p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0))).reshape(h, -1)
@@ -345,6 +409,33 @@ def _pw_shift_kernel(base_ref, pres_ref, img_ref, bid_ref, resid_ref,
             out_ref[:, :] = jnp.where(bid == gi, val, out_ref[:, :])
 
 
+def _pw_shift_kernel_v4(rollb_ref, pres_ref, img_ref, bid_ref, fs_ref,
+                        resid_ref, frac_ref, out_ref, *, c: int, wc: int,
+                        g: int):
+    """Pad-free piecewise row-shift (see _shear_kernel_v4): unpadded
+    rows, cyclic rolls, index-mask borders. The zero-shift identity
+    default is the tile itself (no roll at all)."""
+    i = pl.program_id(0)
+    tile = img_ref[:, :]
+    out_ref[:, :] = tile
+    bid = bid_ref[:, :]
+    li = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+    for gi in range(g):
+        @pl.when(pres_ref[i, gi] > 0)
+        def _(gi=gi):
+            t_g = pltpu.roll(tile, shift=rollb_ref[i, gi], axis=1)
+            t = _resid_roll(t_g, resid_ref[:, gi:gi + 1], wc, PW_MAX_RESID)
+            src = li + fs_ref[:, gi:gi + 1]
+            frac = frac_ref[:, gi:gi + 1]
+            a = jnp.where((src >= 0) & (src < wc), t,
+                          0).astype(jnp.float32)
+            b_t = pltpu.roll(t, shift=wc - c, axis=1)
+            b = jnp.where((src + c >= 0) & (src + c < wc), b_t,
+                          0).astype(jnp.float32)
+            val = (a * (1.0 - frac) + b * frac).astype(out_ref.dtype)
+            out_ref[:, :] = jnp.where(bid == gi, val, out_ref[:, :])
+
+
 def pw_prep(bid: jnp.ndarray, g: int, c: int):
     """Precompute the per-view constants of piecewise_shift_rows for a
     fixed box-id map: channel-flattened bid and the per-8-row-block box
@@ -389,21 +480,53 @@ def piecewise_shift_rows(img: jnp.ndarray, bid: jnp.ndarray,
         stack = jnp.stack(outs)                        # (G, H, W, C)
         return jnp.take_along_axis(
             stack, bid[None, :, :, None].repeat(c, -1), axis=0)[0]
-    pad = max_shift + 8
-    img_p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0))).reshape(h, -1)
     wc = w * c
-    s_len = ((img_p.shape[1] + 127) // 128) * 128
-    img_p = jnp.pad(img_p, ((0, 0), (0, s_len - img_p.shape[1])))
     s_int = jnp.floor(shifts)
     fracs = (shifts - s_int).astype(jnp.float32)       # (H, G)
+    hb = pl.cdiv(h, GROUP_ROWS)
+    bid_flat, pres = prep if prep is not None else pw_prep(bid, g, c)
+    if wc % 128 == 0:
+        # pad-free cyclic-roll path (every production resolution)
+        fs = s_int.astype(jnp.int32) * c               # (H, G), may be < 0
+        grp = fs.reshape(hb, GROUP_ROWS, g)
+        base = jnp.min(grp, axis=1)                    # (HB, G)
+        resid = jnp.clip(grp - base[:, None, :], 0,
+                         PW_MAX_RESID - 1).reshape(h, g).astype(jnp.int32)
+        roll_base = ((wc - base) % wc).astype(jnp.int32)
+        kernel = functools.partial(_pw_shift_kernel_v4, c=c, wc=wc, g=g)
+        row_spec = lambda i, *_: (i, 0)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(hb,),
+                in_specs=[pl.BlockSpec((GROUP_ROWS, wc), row_spec,
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((GROUP_ROWS, wc), row_spec,
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((GROUP_ROWS, g), row_spec,
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((GROUP_ROWS, g), row_spec,
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((GROUP_ROWS, g), row_spec,
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((GROUP_ROWS, wc), row_spec,
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((h, wc), img.dtype),
+        )(roll_base, pres, img.reshape(h, wc), bid_flat, fs, resid,
+          fracs)
+        return out.reshape(h, w, c)
+    pad = max_shift + 8
+    img_p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0))).reshape(h, -1)
+    s_len = ((img_p.shape[1] + 127) // 128) * 128
+    img_p = jnp.pad(img_p, ((0, 0), (0, s_len - img_p.shape[1])))
     flat_start = jnp.clip((s_int.astype(jnp.int32) + pad) * c, 0,
                           s_len - wc - c - PW_MAX_RESID)
-    hb = pl.cdiv(h, GROUP_ROWS)
     grp = flat_start.reshape(hb, GROUP_ROWS, g)
     base = jnp.min(grp, axis=1)                        # (HB, G)
     resid = jnp.clip(grp - base[:, None, :], 0,
                      PW_MAX_RESID - 1).reshape(h, g).astype(jnp.int32)
-    bid_flat, pres = prep if prep is not None else pw_prep(bid, g, c)
     kernel = functools.partial(_pw_shift_kernel, c=c, wc=wc, g=g,
                                pad_flat=pad * c)
     out = pl.pallas_call(
