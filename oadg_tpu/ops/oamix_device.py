@@ -64,6 +64,20 @@ MAX_FG = 16         # GT boxes participating in per-box warps / oa mixing
 ATTEMPTS = 8        # redraws per random-box slot (reference: up to 50)
 
 
+def _use_merged_chain() -> bool:
+    # OAMIX_CHAIN=merged routes the chain through _depth_step_merged:
+    # per-slot lax.cond + lax.switch dispatch replaced by unconditional
+    # fused passes (one photometric LUT pass + one warp trio per slot).
+    # Measured on v5e (2026-08-20, bench_oamix b=4): slots 83 ms vs
+    # merged 132 ms — the conditional dispatch SKIPS the ~60% of warp
+    # trios whose slot drew a photometric op, while the merged form pays
+    # all 9 passes every depth step; per-exec switch overhead is only
+    # ~0.09 ms (OAMIX_FORCE_OP=3 sweep), so unconditionality buys
+    # nothing. Default stays "slots"; the merged path is kept as a
+    # tested equivalent for hardware where conditionals are costlier.
+    return _os.environ.get("OAMIX_CHAIN", "slots") == "merged"
+
+
 def _use_pw_geo() -> bool:
     # Route bboxes_only_* through the piecewise-shift Pallas kernel
     # (vs the per-pixel XLA gather path). Default ON for TPU since the
@@ -362,7 +376,11 @@ class _FgInfo(NamedTuple):
     boxes: jnp.ndarray       # (MAX_FG, 4)
     valid: jnp.ndarray       # (MAX_FG,)
     scores: jnp.ndarray      # (MAX_FG,)
-    best_id: jnp.ndarray     # (H, W) int8: strongest-mask box per pixel
+    best_id: jnp.ndarray     # (H, W) int8: strongest-mask box per pixel,
+    # or the identity sentinel G where every mask < pallas_fg.BID_EPS
+    # (the blend weight there is negligible; the sentinel collapses the
+    # far-field Voronoi spray that multiplied the piecewise-warp
+    # kernels' per-block work — pass measured 0.93 -> 0.32 ms)
     cover: jnp.ndarray       # (H, W) bf16 combined coverage 1-prod(1-m_i)
     union: jnp.ndarray       # (H, W) bf16 max_i m_i (bg_only's fg-union)
     # narrow dtypes: these maps are closed over by every lax.switch branch,
@@ -528,7 +546,11 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
     """
     h, w = img.shape[0], img.shape[1]
     c = img.shape[-1]
-    m = inv_boxes[fg.best_id.astype(jnp.int32)]               # (H, W, 6)
+    # row G = identity matrix for the far-from-every-box sentinel id
+    # (pallas_fg.BID_EPS)
+    ident = jnp.asarray([[1.0, 0.0, 0.0, 0.0, 1.0, 0.0]], jnp.float32)
+    inv_pad = jnp.concatenate([inv_boxes, ident], axis=0)     # (G+1, 6)
+    m = inv_pad[fg.best_id.astype(jnp.int32)]                 # (H, W, 6)
     xo = jnp.arange(w, dtype=jnp.float32)[None, :]
     u = jnp.arange(h, dtype=jnp.float32)[:, None]
     e = jnp.where(jnp.abs(m[..., 4]) < 1e-3, 1e-3, m[..., 4])
@@ -553,6 +575,262 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
     return jnp.clip(jnp.round(out), 0, 255)
 
 
+
+
+def _merged_ctx(fg: _FgInfo, ml_masks, h: int, w: int):
+    """Per-view precompute for the merged depth step: the slot-id map
+    (the ml hard boxes partition the image: slot 0, slot 1, complement)
+    and the per-box id map + kernel presence tables shared by every
+    per-slot warp trio of the view."""
+    n_slots = ml_masks.shape[0] + 1
+    g = fg.boxes.shape[0]
+    slot_id = jnp.full((h, w), n_slots - 1, jnp.int32)
+    for s in range(n_slots - 2, -1, -1):
+        slot_id = jnp.where(ml_masks[s] > 0, s, slot_id)
+    bid = fg.best_id.astype(jnp.int32)
+    ctx = dict(slot_id=slot_id, bid=bid, bidT=jnp.transpose(bid),
+               n_slots=n_slots, g=g, prep_x=None, prep_y=None)
+    if jax.devices()[0].platform != "cpu":
+        from .pallas_warp import merged_prep
+        ctx["prep_x"] = merged_prep(bid, 1, g, 4)
+        ctx["prep_y"] = merged_prep(ctx["bidT"], 1, g, 4)
+    return ctx
+
+
+def _depth_step_merged(img16, ck, od, fg: _FgInfo, mctx, severity: float,
+                       version: str, slot_active, inj=None):
+    """One merged depth step: every slot's sampled op in unconditional
+    fused passes instead of S+1 serial lax.cond + lax.switch executions
+    (measured ~1.25 ms of fixed conditional overhead per execution).
+
+    Exact-equivalence to the per-slot dispatch (_aug_once):
+    - the ml slots partition the image (overlap-rejected hard boxes), so
+      per pixel exactly one slot's op result is selected — the legacy
+      masked accumulation IS a select;
+    - all slots of a depth step read the SAME input image, so the
+      photometric LUT family shares one set of image statistics
+      (autocontrast extrema, equalize histogram — parameter-free ops are
+      identical across slots; posterize/solarize differ only by per-slot
+      scalars, broadcast per pixel through the slot-id map);
+    - every geometric family is a X(p1)*Y(p2)*X(p3) triple of per-row
+      piecewise shifts (rotate = Paeth 3-shear; shear/translate = one
+      axis pass + two zero passes — a zero shift is a bit-exact identity
+      in the lerp kernel), so each slot's drawn geo op runs as ONE
+      unconditional per-slot triple (ops/pallas_warp.py
+      merged_shift_rows) whose is_bb/is_bg flags runtime-gate the kernel
+      work: a bg draw applies one global shift, a bb draw applies the
+      per-box shifts of the locally present boxes, a photometric draw
+      degenerates to a copy. The slot's params apply GLOBALLY before the
+      final per-pixel select — identical content semantics to the legacy
+      dispatch (a one-trio composite over (slot, box) ids was measured
+      to couple cross-slot content through the chained passes: 1.3% of
+      pixels off by >2/255 — rejected). Per-family legacy clip bounds
+      are applied to the shift tables, preserving the saturation
+      behavior of the per-family kernels. The fg-union alpha rides as a
+      4th channel so bg blends use their warped-union map.
+
+    Production RNG: one uniform (G, 3) table per slot replaces the
+    per-branch draws (identical distributions; the stream assignment to
+    branch parameters differs from the legacy dispatch — shared-draw-table
+    injection is unchanged and bit-compatible).
+    Ref workload: oa_mix.py:207-236, bbox_augmentation.py:31-118,
+    augmix.py:83-188.
+    """
+    from .pallas_warp import merged_shift_rows
+    from .photometric import (apply_lut_nibble, equalize_lut_from_hist,
+                              grayscale_l, image_hist256)
+    h, w = img16.shape[0], img16.shape[1]
+    img = img16.astype(jnp.float32)
+    g = fg.boxes.shape[0]
+    n_slots = mctx["n_slots"]
+    n_photo = 4 if version == "augmix" else 9
+    slot_id = mctx["slot_id"]
+
+    # ---- per-slot draws (same key layout as the slot scan)
+    if inj is not None:
+        lv, sg_t, cn = inj                 # (S, MAX_FG), (S, MAX_FG), (S,)
+        lvl = lv[:, :g]
+        sign = sg_t[:, :g]
+        coin = cn
+    else:
+        u = jax.vmap(lambda k: jax.random.uniform(k, (g, 3)))(ck)
+        lvl = 0.1 + u[..., 0] * (severity - 0.1)
+        sign = jnp.where(u[..., 1] > 0.5, -1.0, 1.0)
+        coin = u[:, 0, 2]
+    lvl0, sign0 = lvl[:, 0], sign[:, 0]                  # (S,) scalar draws
+
+    def px(vals, dtype=jnp.float32):
+        """Broadcast a per-slot scalar tuple to (H, W) via the slot map."""
+        o = jnp.broadcast_to(jnp.asarray(vals[n_slots - 1], dtype), (h, w))
+        for s in range(n_slots - 2, -1, -1):
+            o = jnp.where(slot_id == s, jnp.asarray(vals[s], dtype), o)
+        return o
+
+    op_px = px(od, jnp.int32)
+
+    # ---- photometric family (fused elementwise; eq/sharpness gated)
+    xi = jnp.trunc(jnp.clip(img, 0, 255))
+    xc = jnp.clip(img, 0, 255)
+    lo_hi = xi.reshape(h, w * xi.shape[-1])
+    lo = jnp.min(lo_hi, axis=0).reshape(w, -1).min(axis=0)       # (C,)
+    hi = jnp.max(lo_hi, axis=0).reshape(w, -1).max(axis=0)
+    span = hi - lo
+    scale = 255.0 / jnp.where(span > 0, span, 1.0)
+    ac = jnp.where(span > 0,
+                   jnp.clip(jnp.trunc(xi * scale - lo * scale), 0, 255), xi)
+    any_eq = jnp.any((od == 1) & slot_active)
+    eq = jax.lax.cond(
+        any_eq,
+        lambda x: apply_lut_nibble(x, equalize_lut_from_hist(
+            image_hist256(x))),
+        lambda x: x, xi)
+    bits = jnp.maximum(4 - jnp.floor(lvl0 * 4.0 / 10.0).astype(jnp.int32), 1)
+    pmask = (255 << (8 - bits)) & 255                            # (S,)
+    post = jnp.bitwise_and(xi.astype(jnp.int32),
+                           px(pmask, jnp.int32)[..., None]) \
+        .astype(jnp.float32)
+    thr = (256 - jnp.floor(lvl0 * 256.0 / 10.0).astype(jnp.int32)) \
+        .astype(jnp.float32)
+    sol = jnp.where(xc < px(thr)[..., None], xc, 255.0 - xc)
+    opc = op_px[..., None]
+    photo = jnp.where(opc == 0, ac,
+                      jnp.where(opc == 1, eq,
+                                jnp.where(opc == 2, post, sol)))
+    if version != "augmix":
+        fct = px(lvl0 * 1.8 / 10.0 + 0.1)[..., None]             # enhance f
+        gray = grayscale_l(xc)[..., None]
+        inv = 255.0 - xc
+
+        def blend(degen):
+            return jnp.clip(jnp.trunc(degen + fct * (xc - degen)), 0, 255)
+
+        color = blend(jnp.broadcast_to(gray, xc.shape))
+        mean = jnp.floor(jnp.mean(gray) + 0.5)
+        contrast = blend(jnp.full_like(xc, mean))
+        bright = blend(jnp.zeros_like(xc))
+        any_sharp = jnp.any((od == 8) & slot_active)
+        from .photometric import enhance_sharpness
+
+        def sharp_fn(x):
+            # per-pixel factor: inline the blend with fct (the shared
+            # smooth degenerate is slot-independent)
+            import numpy as _np
+            k = jnp.asarray(_np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]],
+                                      _np.float32) / 13.0).reshape(1, 1, 3, 3)
+            xt = x.transpose(2, 0, 1)[:, None]
+            sm = jax.lax.conv_general_dilated(
+                xt, k, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            sm = jnp.clip(jnp.floor(sm[:, 0].transpose(1, 2, 0) + 0.5),
+                          0, 255)
+            ri = jnp.arange(h)[:, None, None]
+            ci = jnp.arange(w)[None, :, None]
+            border = (ri == 0) | (ri == h - 1) | (ci == 0) | (ci == w - 1)
+            return jnp.where(border, x, sm)
+
+        sharp_degen = jax.lax.cond(any_sharp, sharp_fn, lambda x: x, xc)
+        sharp = blend(sharp_degen)
+        photo = jnp.where(opc == 4, inv,
+                          jnp.where(opc == 5, color,
+                                    jnp.where(opc == 6, contrast,
+                                              jnp.where(opc == 7, bright,
+                                                        jnp.where(opc == 8,
+                                                                  sharp,
+                                                                  photo)))))
+
+    # ---- geometric family: one unconditional X*Y*X trio PER SLOT
+    fam = od - n_photo                                           # (S,)
+    boxes = fg.boxes
+    cxg = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    cyg = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    bwg = boxes[:, 2] - boxes[:, 0] + 1
+    bhg = boxes[:, 3] - boxes[:, 1] + 1
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]               # (H, 1)
+    xs = jnp.arange(w, dtype=jnp.float32)[:, None]               # (W, 1)
+    # legacy per-family clip bounds (see _pw_pass_x/_pw_pass_y and the
+    # br_bg_* branches) — preserved exactly, including the documented
+    # bboxes-translate saturation on near-image-width boxes
+    msx_bb, msy_bb = 512, 768
+    msx_bgr, msy_bgr = int(0.27 * h / 2) + 4, int(0.50 * w / 2) + 4
+    msx_bgs, msy_bgs = int(0.3 * h) + 4, int(0.3 * w) + 4
+    msx_bgt, msy_bgt = w // 3 + 4, h // 3 + 4
+
+    un = fg.union.astype(jnp.float32)
+    # alpha rides as un*255 and is divided back after the warp — BIT-SAME
+    # as the legacy _bg_blend (which warps un*255), not just equivalent
+    x4 = jnp.concatenate([img, un[..., None] * 255.0], axis=-1)
+    cov = fg.cover.astype(jnp.float32)[..., None]
+    out = photo
+    for s in range(n_slots):
+        l_g, s_g = lvl[s], sign[s]
+        rad = jnp.deg2rad(jnp.floor(l_g * 30.0 / 10.0) * s_g)
+        a1, b2 = -jnp.tan(rad / 2.0), jnp.sin(rad)
+        sh = l_g * 0.3 / 10.0 * s_g
+        txb = jnp.floor(l_g * (bwg / 3.0) / 10.0) * s_g
+        tyb = jnp.floor(l_g * (bhg / 3.0) / 10.0) * s_g
+        radB = jnp.deg2rad(jnp.floor(lvl0[s] * 30.0 / 10.0) * sign0[s])
+        a1B, b2B = -jnp.tan(radB / 2.0), jnp.sin(radB)
+        shB = lvl0[s] * 0.3 / 10.0 * sign0[s]
+        txB = jnp.floor(lvl0[s] * (w / 3.0) / 10.0) * sign0[s]
+        tyB = jnp.floor(lvl0[s] * (h / 3.0) / 10.0) * sign0[s]
+        ux = coin[s] < 0.5
+        f = fam[s]
+        zH, zW = jnp.zeros((h, g)), jnp.zeros((w, g))
+        zh1, zw1 = jnp.zeros((h, 1)), jnp.zeros((w, 1))
+
+        def sel(fi, cand, acc, f=f):
+            return jnp.where(f == fi, cand, acc)
+
+        # bboxes_only shift tables (H/W, G)
+        rot1 = jnp.clip(a1[None, :] * (ys - cyg[None, :]), -msx_bb, msx_bb)
+        rot2 = jnp.clip(b2[None, :] * (xs - cxg[None, :]), -msy_bb, msy_bb)
+        p1 = sel(0, rot1, zH)
+        p1 = sel(1, jnp.where(ux, jnp.clip(
+            sh[None, :] * (ys - cyg[None, :]), -msx_bb, msx_bb), zH), p1)
+        p1 = sel(2, jnp.where(ux, jnp.clip(jnp.broadcast_to(
+            txb[None, :], (h, g)), -msx_bb, msx_bb), zH), p1)
+        p2 = sel(0, rot2, zW)
+        p2 = sel(1, jnp.where(ux, zW, jnp.clip(
+            sh[None, :] * (xs - cxg[None, :]), -msy_bb, msy_bb)), p2)
+        p2 = sel(2, jnp.where(ux, zW, jnp.clip(jnp.broadcast_to(
+            tyb[None, :], (w, g)), -msy_bb, msy_bb)), p2)
+        p3 = sel(0, rot1, zH)
+        # bg_only shift columns (H/W, 1)
+        brot1 = jnp.clip(a1B * (ys - h / 2.0), -msx_bgr, msx_bgr)
+        brot2 = jnp.clip(b2B * (xs - w / 2.0), -msy_bgr, msy_bgr)
+        q1 = sel(3, brot1, zh1)
+        q1 = sel(4, jnp.where(ux, jnp.clip(shB * ys, -msx_bgs, msx_bgs),
+                              zh1), q1)
+        q1 = sel(5, jnp.where(ux, jnp.clip(jnp.broadcast_to(
+            txB, (h, 1)), -msx_bgt, msx_bgt), zh1), q1)
+        q2 = sel(3, brot2, zw1)
+        q2 = sel(4, jnp.where(ux, zw1, jnp.clip(shB * xs,
+                                                -msy_bgs, msy_bgs)), q2)
+        q2 = sel(5, jnp.where(ux, zw1, jnp.clip(jnp.broadcast_to(
+            tyB, (w, 1)), -msy_bgt, msy_bgt)), q2)
+        q3 = sel(3, brot1, zh1)
+
+        is_bb_s = ((f >= 0) & (f < 3) & slot_active[s])[None]
+        is_bg_s = ((f >= 3) & (f < 6) & slot_active[s])[None]
+        o1 = merged_shift_rows(x4, mctx["bid"], p1, q1, is_bb_s, is_bg_s,
+                               prep=mctx["prep_x"])
+        o2t = merged_shift_rows(jnp.transpose(o1, (1, 0, 2)), mctx["bidT"],
+                                p2, q2, is_bb_s, is_bg_s,
+                                prep=mctx["prep_y"])
+        o2 = jnp.transpose(o2t, (1, 0, 2))
+        wp = merged_shift_rows(o2, mctx["bid"], p3, q3, is_bb_s, is_bg_s,
+                               prep=mctx["prep_x"])
+        warped, w_un = wp[..., :3], wp[..., 3] / 255.0
+        # blends (identical to _pw_finish / _bg_blend)
+        bb_out = jnp.clip(jnp.round(img * (1.0 - cov) + warped * cov),
+                          0, 255)
+        mnt = jnp.maximum(un, w_un)[..., None]
+        bg_out = jnp.clip(jnp.round(mnt * img + (1.0 - mnt) * warped),
+                          0, 255)
+        geo_out = jnp.where(f >= 3, bg_out, bb_out)
+        out = jnp.where((slot_id == s)[..., None] & (opc >= n_photo),
+                        geo_out, out)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.bfloat16)
 
 
 def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
@@ -627,18 +905,18 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
         return _geo_gather(k, 2)
 
     # bg geo: family-specific Pallas shear warps (ops/pallas_warp.py).
-    # The rgb image and the fg-union alpha are warped by SEPARATE kernel
-    # calls with the same per-row shifts (bit-identical to the old
-    # 4-channel concat, which materialized a 32 MB (H, W, 4) f32 buffer
-    # per execution — the single biggest bg-warp cost).
+    # The rgb image and the fg-union alpha (x255, matching the legacy
+    # separate-call scaling bit-for-bit) ride ONE 4-channel kernel call:
+    # the global-shift kernel's per-block cost is fixed per pass, so one
+    # 4ch pass beats two (3ch + 1ch) passes of the same total bytes.
     h_s, w_s = img.shape[0], img.shape[1]
 
     def _bg_blend(warp_fn, k):
         un = fg.union.astype(jnp.float32)
-        warped = warp_fn(img, k)
-        wun = warp_fn(un[..., None] * 255.0, k)
-        maintained = jnp.maximum(un, wun[..., 0] / 255.0)[..., None]
-        out = maintained * img + (1.0 - maintained) * warped
+        x4 = jnp.concatenate([img, un[..., None] * 255.0], axis=-1)
+        w4 = warp_fn(x4, k)
+        maintained = jnp.maximum(un, w4[..., 3] / 255.0)[..., None]
+        out = maintained * img + (1.0 - maintained) * w4[..., :3]
         return jnp.clip(jnp.round(out), 0, 255)
 
     def _lvl_sign(k):
@@ -771,8 +1049,9 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict,
             fg_boxes, fg_valid)
     best_id, cover, union = _precompute_fg_maps(fg_boxes, fg_valid, h, w,
                                                 sigma_ratio)
+    merged = _use_merged_chain()
     pw_x = pw_y = None
-    if _use_pw_geo():
+    if _use_pw_geo() and not merged:
         from .pallas_warp import pw_prep
         bid32 = best_id.astype(jnp.int32)
         pw_x = pw_prep(bid32, max_fg, 3)
@@ -818,6 +1097,7 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict,
     slot_masks = jnp.concatenate(
         [ml_masks, (1.0 - union_mask)[None]], axis=0) > 0      # (S+1, H, W)
     slot_active = jnp.concatenate([ml_valid, jnp.ones((1,), bool)])
+    mctx = _merged_ctx(fg, ml_masks, h, w) if merged else None
 
     inject = draws is not None
 
@@ -830,6 +1110,12 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict,
                      else jax.random.randint(kc, (), 1, 4))
 
         def depth_step(d, img_aug16):
+            if merged:
+                inj_t = ((lv_w[d], sg_w[d], cn_w[d]) if inject else None)
+                return _depth_step_merged(img_aug16, ck_w[d], od_w[d], fg,
+                                          mctx, severity, version,
+                                          slot_active, inj=inj_t)
+
             def slot_body(img_tmp, sx):
                 if inject:
                     ck, od, mask, act, lv, sg, cn = sx

@@ -24,17 +24,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+BID_EPS = 1e-5      # best mask below this -> identity sentinel id G: the
+# blend weight there is < G*eps (~2e-4, <=0.04 intensity), while the
+# argmax would otherwise spray arbitrary far-box ids Voronoi-style
+# across the whole image and multiply the piecewise-warp kernels'
+# per-block work (presence tracks ids per 8-row block).
+
+
 def _fg_kernel(fx_ref, fy_ref, bid_ref, cover_ref, union_ref, *, g: int):
     fy = fy_ref[...]                       # (G, BH)
     fx = fx_ref[...]                       # (G, BW)
     bh, bw = bid_ref.shape
     best = jnp.full((bh, bw), -1.0, jnp.float32)
-    bid = jnp.zeros((bh, bw), jnp.float32)
+    bid = jnp.full((bh, bw), float(g), jnp.float32)
     one_minus = jnp.ones((bh, bw), jnp.float32)
     union = jnp.zeros((bh, bw), jnp.float32)
     for i in range(g):                     # static unroll, all in VMEM
         m = fy[i][:, None] * fx[i][None, :]
-        better = m > best
+        better = (m > best) & (m >= BID_EPS)
         best = jnp.where(better, m, best)
         bid = jnp.where(better, float(i), bid)
         one_minus = one_minus * (1.0 - m)
@@ -75,11 +82,13 @@ def fg_maps_pallas(fx, fy, h: int, w: int, block_h: int = 256,
 
 def fg_maps_xla(fx, fy, h: int, w: int):
     """CPU/fallback path: box-major broadcast-reduce (the fastest XLA form)."""
+    g = fx.shape[0]
     m = fy[:, :, None] * fx[:, None, :]            # (G, H, W)
-    best_id = jnp.argmax(m, axis=0).astype(jnp.int8)
+    best = jnp.max(m, axis=0)
+    best_id = jnp.where(best >= BID_EPS, jnp.argmax(m, axis=0),
+                        g).astype(jnp.int8)
     cover = jnp.clip(1.0 - jnp.prod(1.0 - m, axis=0), 0.0, 1.0)
-    union = jnp.max(m, axis=0)
-    return best_id, cover.astype(jnp.bfloat16), union.astype(jnp.bfloat16)
+    return best_id, cover.astype(jnp.bfloat16), best.astype(jnp.bfloat16)
 
 
 def fg_maps(fx, fy, h: int, w: int):

@@ -4,13 +4,19 @@
 ImageOps.equalize via augmix.py:64-106). The XLA compare-reduce form
 (``sum(x[:, None] == bins)``, output (256,)) re-reads the 2M-pixel image
 once PER BIN — ~6 GB of HBM traffic per call, measured ~7 ms and the
-single largest OA-Mix op after the warps. This kernel tiles the image
-through VMEM once and keeps the 256 per-lane accumulators resident:
-traffic drops to one read of the image (~8 MB/channel).
+single largest OA-Mix op after the warps.
 
-The LUT *application* direction (output (N,), reduce over the 256-entry
-table) is fine in XLA — the table stays resident and the image streams
-once — so only the histogram lives here.
+Two formulations live here:
+- ``hist256`` — VMEM-resident Pallas kernel: tiles the image through
+  VMEM once with 256 per-lane accumulators resident (one read of the
+  image, but 256 equality compares per element — compute-bound at
+  ~1.6 ms/channel for 2M pixels).
+- ``hist256_nibble`` — the nibble-matmul identity on the MXU:
+  hist[16*hi + lo] = (HI_onehot^T @ LO_onehot)[hi, lo] — 32 compares
+  per element + one contraction. Plain XLA (Mosaic cannot lay out
+  per-element one-hot rows: a lane->sublane reshape). Exact: the 0/1
+  bf16 products are exact and the f32 MXU accumulator is exact for
+  counts < 2^24.
 """
 from __future__ import annotations
 
@@ -18,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 LANES = 128
 ROWS = 512                     # tile rows: (ROWS, LANES) f32 = 256 KB
@@ -27,8 +34,6 @@ def _hist_kernel(x_ref, out_ref):
     """x_ref: (ROWS, LANES) f32 tile of values in [0, 256) (pad = 256+).
     out_ref: (256, LANES) f32 per-lane bin counts, accumulated across the
     sequential grid (initialized at the first step)."""
-    from jax.experimental import pallas as pl
-
     @pl.when(pl.program_id(0) == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -46,10 +51,28 @@ def _hist_kernel(x_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def hist256_nibble(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """256-bin histogram via the nibble-matmul identity (see module
+    docstring). Same contract as hist256; ~6x faster at 2M pixels."""
+    flat = jnp.trunc(jnp.clip(x.reshape(-1).astype(jnp.float32), 0, 255))
+    if interpret or jax.devices()[0].platform == "cpu":
+        bins = jnp.arange(256, dtype=jnp.float32)
+        return jnp.sum(flat[None, :] == bins[:, None], axis=1,
+                       dtype=jnp.int32)
+    hi = jnp.floor(flat * (1.0 / 16.0))
+    lo = flat - hi * 16.0
+    nib = jnp.arange(16, dtype=jnp.float32)
+    t_hi = (hi[:, None] == nib).astype(jnp.bfloat16)        # (N, 16)
+    t_lo = (lo[:, None] == nib).astype(jnp.bfloat16)
+    hl = jax.lax.dot_general(t_hi, t_lo, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return hl.reshape(256).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def hist256(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """256-bin histogram of ``x`` (any shape) of values in [0, 255]
     (values are truncated to integers first). Returns (256,) int32."""
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     flat = jnp.trunc(jnp.clip(x.reshape(-1).astype(jnp.float32), 0, 255))

@@ -61,7 +61,13 @@ def _shear_kernel(start_ref, resid_ref, frac_ref, img_ref, out_ref, scratch,
 
 
 GROUP_ROWS = 8          # one vreg of sublanes
-MAX_RESID = 16          # per-group shift span bound (slope*c <= 1.5, 8 rows)
+# Per-group FLAT shift-span bound: the floored per-row shift varies by
+# up to ceil(slope*7) = 4 px across an 8-row group (slope <= sin 30deg),
+# x C flat lanes = 16 at C=4 — EXACTLY the old bound of 16, which the
+# clip then corrupted by one lane (caught by the merged-chain parity
+# bisect: rotate pass 2 off by one lane-row). 32 costs one extra
+# binary-roll stage and is safe for every OA-Mix op up to C=4.
+MAX_RESID = 32
 
 
 def _resid_roll(t, resid, s_len, max_resid=MAX_RESID):
@@ -376,7 +382,7 @@ def warp_rotate(img, rad, cx, cy, max_shift_x: int, max_shift_y: int,
 
 # ------------------------------------------------- piecewise (per-box) ----
 
-PW_MAX_RESID = 16
+PW_MAX_RESID = 32       # see MAX_RESID: 16 was hit exactly at C=4
 
 
 def _pw_shift_kernel(base_ref, pres_ref, img_ref, bid_ref, resid_ref,
@@ -454,6 +460,182 @@ def pw_prep(bid: jnp.ndarray, g: int, c: int):
     return bid_flat, pres
 
 
+# ------------------------------------------- merged (per-slot+box) pass ----
+
+def merged_prep(cid: jnp.ndarray, n_slots: int, g: int, c: int):
+    """Per-view constants for ``merged_shift_rows``: channel-flattened
+    composite-id map plus the per-8-row-block presence masks of boxes
+    (cid % g) and slots (cid // g). cid (H, W) int32 = slot_id * g + best_id.
+    """
+    h, w = cid.shape
+    hb = pl.cdiv(h, GROUP_ROWS)
+    blocks = cid.reshape(hb, GROUP_ROWS * w)
+    valid = blocks < n_slots * g            # identity sentinel = S*G
+    bids = jnp.where(valid, blocks % g, g)
+    sids = jnp.where(valid, blocks // g, n_slots)
+    box_ids = jnp.arange(g, dtype=blocks.dtype)
+    slot_ids = jnp.arange(n_slots, dtype=blocks.dtype)
+    pres_box = (bids[:, :, None] == box_ids[None, None, :]).any(axis=1) \
+        .astype(jnp.int32)                                # (HB, G)
+    pres_slot = (sids[:, :, None] == slot_ids[None, None, :]).any(axis=1) \
+        .astype(jnp.int32)                                # (HB, S)
+    cid_flat = jnp.repeat(cid, c, axis=1).astype(jnp.int32)     # (H, W*C)
+    return cid_flat, pres_box, pres_slot
+
+
+def _merged_shift_kernel(rollb_sl_ref, rollb_bb_ref, pres_slot_ref,
+                         pres_box_ref, isbg_ref, isbb_ref, img_ref, cid_ref,
+                         fs_sl_ref, resid_sl_ref, frac_sl_ref, fs_bb_ref,
+                         resid_bb_ref, frac_bb_ref, out_ref, *, c: int,
+                         wc: int, n_slots: int, g: int):
+    """ONE kernel pass for every geometric op a merged OA-Mix depth step
+    drew, replacing per-slot conditional warp dispatch:
+
+    - default: identity (pixels of photometric/inactive slots);
+    - per-slot bg_only shifts (loop over S slots, runtime-gated by the
+      depth step's is_bg draw flags AND the slot's static block presence);
+    - per-(slot, box) bboxes_only shifts (loop over S*G composite ids,
+      gated by is_bb[slot] and the box's static block presence — the
+      executed work per block tracks the handful of locally present
+      (drawn-slot, box) pairs, not the 48-entry table).
+
+    Pad-free cyclic-roll realignment + index-mask borders as in
+    _pw_shift_kernel_v4. cid tile holds slot*G+box per lane, so the
+    composite select is ONE integer compare.
+    """
+    i = pl.program_id(0)
+    tile = img_ref[:, :]
+    out_ref[:, :] = tile
+    cid = cid_ref[:, :]
+    li = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+
+    def apply_one(rollb, resid, fs, frac):
+        t0 = pltpu.roll(tile, shift=rollb, axis=1)
+        t = _resid_roll(t0, resid, wc, PW_MAX_RESID)
+        src = li + fs
+        a = jnp.where((src >= 0) & (src < wc), t, 0).astype(jnp.float32)
+        b_t = pltpu.roll(t, shift=wc - c, axis=1)
+        b = jnp.where((src + c >= 0) & (src + c < wc), b_t,
+                      0).astype(jnp.float32)
+        return (a * (1.0 - frac) + b * frac).astype(out_ref.dtype)
+
+    for si in range(n_slots):
+        @pl.when((isbg_ref[si] > 0) & (pres_slot_ref[i, si] > 0))
+        def _(si=si):
+            val = apply_one(rollb_sl_ref[i, si], resid_sl_ref[:, si:si + 1],
+                            fs_sl_ref[:, si:si + 1],
+                            frac_sl_ref[:, si:si + 1])
+            # bg shifts are global: identity-sentinel pixels (cid >=
+            # S*G, far from every box) take them too (exact for the
+            # per-slot-trio caller, n_slots == 1)
+            sel = ((cid >= si * g) & (cid < (si + 1) * g)) | \
+                (cid >= n_slots * g)
+            out_ref[:, :] = jnp.where(sel, val, out_ref[:, :])
+
+    for k in range(n_slots * g):
+        si, gi = k // g, k % g
+        @pl.when((isbb_ref[si] > 0) & (pres_box_ref[i, gi] > 0))
+        def _(k=k):
+            val = apply_one(rollb_bb_ref[i, k], resid_bb_ref[:, k:k + 1],
+                            fs_bb_ref[:, k:k + 1],
+                            frac_bb_ref[:, k:k + 1])
+            out_ref[:, :] = jnp.where(cid == k, val, out_ref[:, :])
+
+
+def _fs_tables(p, h, hb, c):
+    """Continuous shifts (H, K) -> flat int shifts + per-block roll bases
+    + residuals + fracs for the cyclic-roll kernels."""
+    s_int = jnp.floor(p)
+    fracs = (p - s_int).astype(jnp.float32)
+    fs = s_int.astype(jnp.int32) * c
+    k = p.shape[1]
+    grp = fs.reshape(hb, GROUP_ROWS, k)
+    base = jnp.min(grp, axis=1)                          # (HB, K)
+    resid = jnp.clip(grp - base[:, None, :], 0,
+                     PW_MAX_RESID - 1).reshape(h, k).astype(jnp.int32)
+    return fs, base, resid, fracs
+
+
+def merged_shift_rows(img: jnp.ndarray, cid: jnp.ndarray, p_bb: jnp.ndarray,
+                      p_sl: jnp.ndarray, is_bb: jnp.ndarray,
+                      is_bg: jnp.ndarray, prep=None) -> jnp.ndarray:
+    """Merged per-row shift: each pixel shifts by its composite id's
+    offset — p_bb[y, cid] where the pixel's slot drew a bboxes_only op,
+    p_sl[y, slot] where it drew a bg_only op, identity otherwise.
+
+    img (H, W, C); cid (H, W) int32 in [0, S*G) = slot*G + box;
+    p_bb (H, S*G) float continuous shifts (pre-clipped by the caller to
+    each family's legacy bounds); p_sl (H, S); is_bb/is_bg (S,) bool/int
+    per-slot draw flags. ``prep`` = merged_prep(cid, S, G, C).
+    """
+    h, w, c = img.shape
+    sg = p_bb.shape[1]
+    s = p_sl.shape[1]
+    g = sg // s
+    if jax.devices()[0].platform == "cpu":
+        # per-pixel gather fallback (CPU tests): identical lerp math
+        valid = cid < s * g                  # identity sentinel = S*G
+        slot = jnp.minimum(cid // g, s - 1)  # sentinel -> slot 0 (bg is
+        # global and the caller runs per-slot trios, n_slots == 1)
+        s_px = jnp.take_along_axis(p_bb, jnp.minimum(cid, sg - 1), axis=1)
+        s_sl = jnp.take_along_axis(p_sl, slot, axis=1)
+        bbm = is_bb.astype(bool)[slot] & valid
+        bgm = is_bg.astype(bool)[slot]
+        p_px = jnp.where(bbm, s_px, jnp.where(bgm, s_sl, 0.0))
+        si = jnp.floor(p_px)
+        f = (p_px - si)[..., None]
+        idx = jnp.arange(w)[None, :] + si.astype(jnp.int32)
+
+        def tap(ix):
+            v = jnp.take_along_axis(img, jnp.clip(ix, 0, w - 1)[..., None],
+                                    axis=1)
+            return jnp.where(((ix >= 0) & (ix < w))[..., None], v, 0.0)
+
+        return tap(idx) * (1.0 - f) + tap(idx + 1) * f
+    wc = w * c
+    assert wc % 128 == 0, "merged_shift_rows needs lane-aligned rows"
+    hb = pl.cdiv(h, GROUP_ROWS)
+    cid_flat, pres_box, pres_slot = (prep if prep is not None
+                                     else merged_prep(cid, s, g, c))
+    fs_bb, base_bb, resid_bb, frac_bb = _fs_tables(p_bb, h, hb, c)
+    fs_sl, base_sl, resid_sl, frac_sl = _fs_tables(p_sl, h, hb, c)
+    rollb_bb = ((wc - base_bb) % wc).astype(jnp.int32)
+    rollb_sl = ((wc - base_sl) % wc).astype(jnp.int32)
+    kernel = functools.partial(_merged_shift_kernel, c=c, wc=wc,
+                               n_slots=s, g=g)
+    row_spec = lambda i, *_: (i, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(hb,),
+            in_specs=[pl.BlockSpec((GROUP_ROWS, wc), row_spec,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, wc), row_spec,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, s), row_spec,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, s), row_spec,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, s), row_spec,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, sg), row_spec,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, sg), row_spec,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((GROUP_ROWS, sg), row_spec,
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((GROUP_ROWS, wc), row_spec,
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, wc), img.dtype),
+    )(rollb_sl, rollb_bb, pres_slot, pres_box,
+      is_bg.astype(jnp.int32), is_bb.astype(jnp.int32),
+      img.reshape(h, wc), cid_flat, fs_sl, resid_sl, frac_sl,
+      fs_bb, resid_bb, frac_bb)
+    return out.reshape(h, w, c)
+
+
 @functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
 def piecewise_shift_rows(img: jnp.ndarray, bid: jnp.ndarray,
                          shifts: jnp.ndarray, max_shift: int,
@@ -478,8 +660,12 @@ def piecewise_shift_rows(img: jnp.ndarray, bid: jnp.ndarray,
             outs.append(shear_rows_xla(img, s_all[:, gi].astype(jnp.int32),
                                        f_all[:, gi], max_shift))
         stack = jnp.stack(outs)                        # (G, H, W, C)
-        return jnp.take_along_axis(
-            stack, bid[None, :, :, None].repeat(c, -1), axis=0)[0]
+        out = jnp.take_along_axis(
+            stack, jnp.minimum(bid, g - 1)[None, :, :, None].repeat(c, -1),
+            axis=0)[0]
+        # identity-sentinel ids (bid == G, pixels far from every box —
+        # see pallas_fg.BID_EPS) keep the source pixel
+        return jnp.where((bid < g)[..., None], out, img)
     wc = w * c
     s_int = jnp.floor(shifts)
     fracs = (shifts - s_int).astype(jnp.float32)       # (H, G)

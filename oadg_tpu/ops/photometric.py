@@ -71,18 +71,10 @@ def autocontrast(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(span > 0, out, xi)
 
 
-def equalize(img: jnp.ndarray) -> jnp.ndarray:
-    """Gather/scatter-free equalize: the histogram is a compare-reduce
-    (counts[i] = sum(p == i), fused by XLA into one reduction) and the
-    monotone LUT is applied as out = lut[0] + sum_i (p >= i) * diff(lut)[i]
-    — both O(256*N) VPU ops, no memory-indirect access."""
-    x = jnp.trunc(jnp.clip(img, 0, 255))                        # (H, W, C)
-    c = x.shape[-1]
-    # histogram via the Pallas VMEM-resident kernel: the XLA compare-reduce
-    # re-reads the image once per bin (~6 GB HBM traffic at 2M pixels,
-    # measured the largest OA-Mix op after the warps)
-    from .pallas_hist import hist256
-    hist = jnp.stack([hist256(x[..., ch]) for ch in range(c)])  # (C, 256)
+def equalize_lut_from_hist(hist: jnp.ndarray) -> jnp.ndarray:
+    """PIL ImageOps.equalize LUT from per-channel histograms (C, 256) ->
+    (C, 256) float32 (identity where the channel is degenerate)."""
+    c = hist.shape[0]
     idx = jnp.arange(256)
     nz = hist > 0
     n_nz = jnp.sum(nz, axis=1)
@@ -98,26 +90,68 @@ def equalize(img: jnp.ndarray) -> jnp.ndarray:
     lut = jnp.clip((step_safe[:, None] // 2 + cum_before)
                    // step_safe[:, None], 0, 255)
     use_ident = (n_nz <= 1) | (step == 0)
-    lut = jnp.where(use_ident[:, None], idx[None, :], lut).astype(jnp.float32)
-    # LUT apply via hi/lo nibble one-hots (EXACT, gather-free): with
-    # x = 16*h + l,  lut[x] = sum_h T_hi[h] * (L @ T_lo)[h]  where
-    # L = lut.reshape(16, 16). 32 compares + a tiny K=16 matmul per value
-    # instead of the 256 compare-FMAs of the old threshold sum (which
-    # measured ~26 ms/step — the most expensive OA-Mix op after the
-    # warps). Every partial result selects exactly ONE lut entry (the
-    # factors are one-hot) and lut values are integers <= 255 (exact in
-    # bf16), so the output is bit-identical to a real table lookup.
+    return jnp.where(use_ident[:, None], idx[None, :],
+                     lut).astype(jnp.float32)
+
+
+def apply_lut_nibble(x: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-channel (C, 256) LUT to uint8-valued ``x`` (H, W, C).
+
+    Hi/lo nibble one-hots (EXACT, gather-free): with
+    x = 16*h + l,  lut[x] = sum_h T_hi[h] * (L @ T_lo)[h]  where
+    L = lut.reshape(16, 16). 32 compares + a tiny K=16 matmul per value
+    instead of the 256 compare-FMAs of the old threshold sum (which
+    measured ~26 ms/step — the most expensive OA-Mix op after the
+    warps). Every partial result selects exactly ONE lut entry (the
+    factors are one-hot) and lut values are integers <= 255 (exact in
+    bf16), so the output is bit-identical to a real table lookup."""
+    c = x.shape[-1]
     xi2 = x.reshape(-1, c)                                      # (N, C) f32
     hi_n = jnp.floor(xi2 * (1.0 / 16.0))
     lo_n = xi2 - hi_n * 16.0
     nib = jnp.arange(16, dtype=jnp.float32)
     t_lo = (lo_n[..., None] == nib).astype(jnp.bfloat16)        # (N, C, 16)
-    t_hi = (hi_n[..., None] == nib).astype(jnp.float32)         # (N, C, 16)
+    t_hi = (hi_n[..., None] == nib).astype(jnp.bfloat16)        # (N, C, 16)
     lut16 = lut.reshape(c, 16, 16).astype(jnp.bfloat16)         # [c, h, l]
+    # m entries are EXACT lut values in bf16 (one-hot selection of
+    # integers <= 255), so the bf16 intermediate is lossless and halves
+    # the (N, C, 16) HBM traffic (~190 MB at 2M pixels) vs f32
     m = jnp.einsum("ncl,chl->nch", t_lo, lut16,
-                   preferred_element_type=jnp.float32)          # (N, C, 16)
-    out = jnp.sum(t_hi * m, axis=-1)                            # (N, C)
+                   preferred_element_type=jnp.bfloat16)         # (N, C, 16)
+    out = jnp.sum(t_hi.astype(jnp.float32) * m.astype(jnp.float32),
+                  axis=-1)                                      # (N, C)
     return out.reshape(x.shape)
+
+
+def image_hist256(img: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel 256-bin histogram of uint8-valued (H, W, C) -> (C, 256)
+    int32 (Pallas VMEM-resident nibble-matmul kernel on TPU; the XLA
+    compare-reduce re-reads the image once per bin — ~6 GB HBM traffic
+    at 2M pixels)."""
+    from .pallas_hist import hist256_nibble
+    x = jnp.trunc(jnp.clip(img, 0, 255))
+    return jnp.stack([hist256_nibble(x[..., ch])
+                      for ch in range(x.shape[-1])])
+
+
+def equalize(img: jnp.ndarray) -> jnp.ndarray:
+    """Gather/scatter-free PIL ImageOps.equalize: nibble-matmul
+    histogram (image_hist256) + nibble-matmul LUT apply."""
+    x = jnp.trunc(jnp.clip(img, 0, 255))                        # (H, W, C)
+    lut = equalize_lut_from_hist(image_hist256(x))
+    return apply_lut_nibble(x, lut)
+
+
+def autocontrast_params(img: jnp.ndarray):
+    """Per-channel (lo, hi) uint8-valued extrema of (H, W, C) — the PIL
+    autocontrast (cutoff=0) histogram extremes. Lane-dense two-stage
+    reduce (see autocontrast)."""
+    xi = jnp.trunc(jnp.clip(img, 0, 255))
+    h, w, c = xi.shape
+    row = xi.reshape(h, w * c)
+    lo = jnp.min(row, axis=0).reshape(w, c).min(axis=0)         # (C,)
+    hi = jnp.max(row, axis=0).reshape(w, c).max(axis=0)
+    return lo, hi
 
 
 def posterize(img: jnp.ndarray, bits) -> jnp.ndarray:
