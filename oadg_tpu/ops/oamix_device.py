@@ -66,15 +66,24 @@ ATTEMPTS = 8        # redraws per random-box slot (reference: up to 50)
 
 def _use_merged_chain() -> bool:
     # OAMIX_CHAIN=merged routes the chain through _depth_step_merged:
-    # per-slot lax.cond + lax.switch dispatch replaced by unconditional
-    # fused passes (one photometric LUT pass + one warp trio per slot).
-    # Measured on v5e (2026-08-20, bench_oamix b=4): slots 83 ms vs
-    # merged 132 ms — the conditional dispatch SKIPS the ~60% of warp
-    # trios whose slot drew a photometric op, while the merged form pays
-    # all 9 passes every depth step; per-exec switch overhead is only
-    # ~0.09 ms (OAMIX_FORCE_OP=3 sweep), so unconditionality buys
-    # nothing. Default stays "slots"; the merged path is kept as a
-    # tested equivalent for hardware where conditionals are costlier.
+    # per-slot lax.cond + lax.switch dispatch replaced by ONE fused
+    # photometric pass + a cond-GATED warp trio per geo-drawn slot.
+    # History (v5e, chain A/B b=4 1024x2048, oadg 15-op version):
+    # slots 88 ms; first merged form 132 ms (it paid all 9 warp passes
+    # every depth step — unconditional lost); cond-gated merged 68 ms
+    # (photo slots share one fused pass incl. a single equalize hist —
+    # the costliest op at ~1.9 ms/exec in the slot dispatch — and only
+    # geo-drawn slots run their trio, P(geo)=6/15 per slot). BUT inside
+    # the full train step the gated-merged chain REGRESSES: full-bench
+    # A/B 2026-08-20 measured slots 0.3265 s/step (12.25 samples/s) vs
+    # merged 0.3722 (10.75) — the standalone 20 ms win inverts to a
+    # 45 ms in-step loss (TPU conditionals are scheduling barriers; the
+    # merged form's unconditional photo pass + per-depth any_eq/any_sharp
+    # conds interact worse with the surrounding fwd/bwd than the slot
+    # dispatch does). Default stays "slots"; merged remains the tested
+    # equivalent (bit-equal under shared-draw injection —
+    # tests/test_oamix_merged.py; production differs only by PRNG stream
+    # assignment) for workloads where the chain runs standalone.
     return _os.environ.get("OAMIX_CHAIN", "slots") == "merged"
 
 
@@ -544,6 +553,7 @@ def _apply_geo_bboxes_only(img, fg: _FgInfo, inv_boxes):
     being read rather than the consuming output pixel; the two differ only
     across box-mask boundaries where the blend weight is already small.
     """
+    img = img.astype(jnp.float32)        # gather path stays f32 (CPU/opt-out)
     h, w = img.shape[0], img.shape[1]
     c = img.shape[-1]
     # row G = identity matrix for the far-from-every-box sentinel id
@@ -738,7 +748,13 @@ def _depth_step_merged(img16, ck, od, fg: _FgInfo, mctx, severity: float,
                                                                   sharp,
                                                                   photo)))))
 
-    # ---- geometric family: one unconditional X*Y*X trio PER SLOT
+    # ---- geometric family: one X*Y*X trio PER SLOT, cond-gated on the
+    # slot actually drawing a geo op. The gate is EXACT: a photo-drawn
+    # slot's geo_out is never selected (its region has opc < n_photo),
+    # so skipping the trio changes nothing — but saves the 3 Pallas
+    # passes + boundary materializations (the merged path's measured
+    # regression vs the slot dispatch was precisely these unconditional
+    # trios: 132 ms vs ~90 ms chain). E[geo slots/step] = S * 6/n_ops.
     fam = od - n_photo                                           # (S,)
     boxes = fg.boxes
     cxg = (boxes[:, 0] + boxes[:, 2]) / 2.0
@@ -757,10 +773,14 @@ def _depth_step_merged(img16, ck, od, fg: _FgInfo, mctx, severity: float,
 
     un = fg.union.astype(jnp.float32)
     # alpha rides as un*255 and is divided back after the warp — BIT-SAME
-    # as the legacy _bg_blend (which warps un*255), not just equivalent
-    x4 = jnp.concatenate([img, un[..., None] * 255.0], axis=-1)
+    # as the legacy _bg_blend (which warps un*255), not just equivalent.
+    # x4 rides in the chain lane dtype (bf16 default, see _aug_once).
+    x4 = jnp.concatenate(
+        [img16, (un[..., None] * 255.0).astype(img16.dtype)], axis=-1)
     cov = fg.cover.astype(jnp.float32)[..., None]
-    out = photo
+    # bf16 carry: photo and geo_out are integer-valued (every family
+    # trunc/rounds), so the cast is exact and halves the cond boundary
+    out = photo.astype(jnp.bfloat16)
     for s in range(n_slots):
         l_g, s_g = lvl[s], sign[s]
         rad = jnp.deg2rad(jnp.floor(l_g * 30.0 / 10.0) * s_g)
@@ -775,62 +795,76 @@ def _depth_step_merged(img16, ck, od, fg: _FgInfo, mctx, severity: float,
         tyB = jnp.floor(lvl0[s] * (h / 3.0) / 10.0) * sign0[s]
         ux = coin[s] < 0.5
         f = fam[s]
-        zH, zW = jnp.zeros((h, g)), jnp.zeros((w, g))
-        zh1, zw1 = jnp.zeros((h, 1)), jnp.zeros((w, 1))
-
-        def sel(fi, cand, acc, f=f):
-            return jnp.where(f == fi, cand, acc)
-
-        # bboxes_only shift tables (H/W, G)
-        rot1 = jnp.clip(a1[None, :] * (ys - cyg[None, :]), -msx_bb, msx_bb)
-        rot2 = jnp.clip(b2[None, :] * (xs - cxg[None, :]), -msy_bb, msy_bb)
-        p1 = sel(0, rot1, zH)
-        p1 = sel(1, jnp.where(ux, jnp.clip(
-            sh[None, :] * (ys - cyg[None, :]), -msx_bb, msx_bb), zH), p1)
-        p1 = sel(2, jnp.where(ux, jnp.clip(jnp.broadcast_to(
-            txb[None, :], (h, g)), -msx_bb, msx_bb), zH), p1)
-        p2 = sel(0, rot2, zW)
-        p2 = sel(1, jnp.where(ux, zW, jnp.clip(
-            sh[None, :] * (xs - cxg[None, :]), -msy_bb, msy_bb)), p2)
-        p2 = sel(2, jnp.where(ux, zW, jnp.clip(jnp.broadcast_to(
-            tyb[None, :], (w, g)), -msy_bb, msy_bb)), p2)
-        p3 = sel(0, rot1, zH)
-        # bg_only shift columns (H/W, 1)
-        brot1 = jnp.clip(a1B * (ys - h / 2.0), -msx_bgr, msx_bgr)
-        brot2 = jnp.clip(b2B * (xs - w / 2.0), -msy_bgr, msy_bgr)
-        q1 = sel(3, brot1, zh1)
-        q1 = sel(4, jnp.where(ux, jnp.clip(shB * ys, -msx_bgs, msx_bgs),
-                              zh1), q1)
-        q1 = sel(5, jnp.where(ux, jnp.clip(jnp.broadcast_to(
-            txB, (h, 1)), -msx_bgt, msx_bgt), zh1), q1)
-        q2 = sel(3, brot2, zw1)
-        q2 = sel(4, jnp.where(ux, zw1, jnp.clip(shB * xs,
-                                                -msy_bgs, msy_bgs)), q2)
-        q2 = sel(5, jnp.where(ux, zw1, jnp.clip(jnp.broadcast_to(
-            tyB, (w, 1)), -msy_bgt, msy_bgt)), q2)
-        q3 = sel(3, brot1, zh1)
-
         is_bb_s = ((f >= 0) & (f < 3) & slot_active[s])[None]
         is_bg_s = ((f >= 3) & (f < 6) & slot_active[s])[None]
-        o1 = merged_shift_rows(x4, mctx["bid"], p1, q1, is_bb_s, is_bg_s,
-                               prep=mctx["prep_x"])
-        o2t = merged_shift_rows(jnp.transpose(o1, (1, 0, 2)), mctx["bidT"],
-                                p2, q2, is_bb_s, is_bg_s,
-                                prep=mctx["prep_y"])
-        o2 = jnp.transpose(o2t, (1, 0, 2))
-        wp = merged_shift_rows(o2, mctx["bid"], p3, q3, is_bb_s, is_bg_s,
-                               prep=mctx["prep_x"])
-        warped, w_un = wp[..., :3], wp[..., 3] / 255.0
-        # blends (identical to _pw_finish / _bg_blend)
-        bb_out = jnp.clip(jnp.round(img * (1.0 - cov) + warped * cov),
-                          0, 255)
-        mnt = jnp.maximum(un, w_un)[..., None]
-        bg_out = jnp.clip(jnp.round(mnt * img + (1.0 - mnt) * warped),
-                          0, 255)
-        geo_out = jnp.where(f >= 3, bg_out, bb_out)
-        out = jnp.where((slot_id == s)[..., None] & (opc >= n_photo),
-                        geo_out, out)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.bfloat16)
+
+        def geo_fn(acc, s=s, f=f, l_g=l_g, s_g=s_g, a1=a1, b2=b2, sh=sh,
+                   txb=txb, tyb=tyb, a1B=a1B, b2B=b2B, shB=shB, txB=txB,
+                   tyB=tyB, ux=ux, is_bb_s=is_bb_s, is_bg_s=is_bg_s):
+            zH, zW = jnp.zeros((h, g)), jnp.zeros((w, g))
+            zh1, zw1 = jnp.zeros((h, 1)), jnp.zeros((w, 1))
+
+            def sel(fi, cand, acc2, f=f):
+                return jnp.where(f == fi, cand, acc2)
+
+            # bboxes_only shift tables (H/W, G)
+            rot1 = jnp.clip(a1[None, :] * (ys - cyg[None, :]),
+                            -msx_bb, msx_bb)
+            rot2 = jnp.clip(b2[None, :] * (xs - cxg[None, :]),
+                            -msy_bb, msy_bb)
+            p1 = sel(0, rot1, zH)
+            p1 = sel(1, jnp.where(ux, jnp.clip(
+                sh[None, :] * (ys - cyg[None, :]), -msx_bb, msx_bb), zH), p1)
+            p1 = sel(2, jnp.where(ux, jnp.clip(jnp.broadcast_to(
+                txb[None, :], (h, g)), -msx_bb, msx_bb), zH), p1)
+            p2 = sel(0, rot2, zW)
+            p2 = sel(1, jnp.where(ux, zW, jnp.clip(
+                sh[None, :] * (xs - cxg[None, :]), -msy_bb, msy_bb)), p2)
+            p2 = sel(2, jnp.where(ux, zW, jnp.clip(jnp.broadcast_to(
+                tyb[None, :], (w, g)), -msy_bb, msy_bb)), p2)
+            p3 = sel(0, rot1, zH)
+            # bg_only shift columns (H/W, 1)
+            brot1 = jnp.clip(a1B * (ys - h / 2.0), -msx_bgr, msx_bgr)
+            brot2 = jnp.clip(b2B * (xs - w / 2.0), -msy_bgr, msy_bgr)
+            q1 = sel(3, brot1, zh1)
+            q1 = sel(4, jnp.where(ux, jnp.clip(shB * ys, -msx_bgs, msx_bgs),
+                                  zh1), q1)
+            q1 = sel(5, jnp.where(ux, jnp.clip(jnp.broadcast_to(
+                txB, (h, 1)), -msx_bgt, msx_bgt), zh1), q1)
+            q2 = sel(3, brot2, zw1)
+            q2 = sel(4, jnp.where(ux, zw1, jnp.clip(shB * xs,
+                                                    -msy_bgs, msy_bgs)), q2)
+            q2 = sel(5, jnp.where(ux, zw1, jnp.clip(jnp.broadcast_to(
+                tyB, (w, 1)), -msy_bgt, msy_bgt)), q2)
+            q3 = sel(3, brot1, zh1)
+
+            # blend source upcast INSIDE the cond: the boundary operand
+            # stays the bf16 img16 (12 MB) instead of the f32 image
+            imf = img16.astype(jnp.float32)
+            o1 = merged_shift_rows(x4, mctx["bid"], p1, q1, is_bb_s,
+                                   is_bg_s, prep=mctx["prep_x"])
+            o2t = merged_shift_rows(jnp.transpose(o1, (1, 0, 2)),
+                                    mctx["bidT"], p2, q2, is_bb_s, is_bg_s,
+                                    prep=mctx["prep_y"])
+            o2 = jnp.transpose(o2t, (1, 0, 2))
+            wp = merged_shift_rows(o2, mctx["bid"], p3, q3, is_bb_s,
+                                   is_bg_s, prep=mctx["prep_x"])
+            warped, w_un = wp[..., :3], wp[..., 3] / 255.0
+            # blends (identical to _pw_finish / _bg_blend, incl. dtypes:
+            # warped/w_un stay in the lane dtype until the f32 promote)
+            bb_out = jnp.clip(jnp.round(imf * (1.0 - cov) + warped * cov),
+                              0, 255)
+            mnt = jnp.maximum(un, w_un)[..., None]
+            bg_out = jnp.clip(jnp.round(mnt * imf + (1.0 - mnt) * warped),
+                              0, 255)
+            geo_out = jnp.where(f >= 3, bg_out, bb_out)
+            return jnp.where((slot_id == s)[..., None] & (opc >= n_photo),
+                             geo_out.astype(acc.dtype), acc)
+
+        out = jax.lax.cond(is_bb_s[0] | is_bg_s[0], geo_fn,
+                           lambda acc: acc, out)
+    return jnp.clip(jnp.round(out.astype(jnp.float32)),
+                    0, 255).astype(jnp.bfloat16)
 
 
 def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
@@ -845,14 +879,34 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
 
     The image crosses the conditional boundary in bf16: TPU conditionals
     materialize their operands/results (~16 ms per execution for the f32
-    image — measured dominant); halving the bytes halves that. Compute
-    inside every branch stays f32 (bf16 represents the 0..255 integers
-    exactly, so the boundary cast is lossless on the uint8-valued chain
-    state).
+    image — measured dominant); halving the bytes halves that.
+
+    bf16 lanes (round-5): the branch input STAYS bf16 — the chain state
+    is uint8-valued and bf16 represents 0..255 exactly, so every branch
+    read halves. Elementwise photometric ops upcast to f32 inside their
+    fused consumers (free); the Pallas shift kernels load bf16 tiles and
+    upcast in VMEM (identical f32 math, half the HBM traffic). The only
+    divergence vs the f32 path: warp/blend intermediates round to bf16
+    (spacing <= 1.0 below 256) before the final integer round — measured
+    <= ±1/255 against the f32 lanes on-chip. OAMIX_F32_LANES=1 restores
+    the f32 path (A/B + debugging).
     """
-    img = img_io.astype(jnp.float32)
+    img = (img_io.astype(jnp.float32)
+           if _os.environ.get("OAMIX_F32_LANES") else img_io)
     all_ops = version != "augmix"
     n_photo = 9 if all_ops else 4
+
+    def imgf():
+        """f32 view of the chain state, upcast INSIDE the branch body.
+
+        Photometric ops must compute in f32 (weak-typed scalar consts
+        would otherwise keep bf16 math, diverging from the host oracle
+        and the merged depth step by a few /255) — but the upcast has to
+        live inside each branch: hoisting it would make the f32 image a
+        switch operand and resurrect the boundary materialization the
+        bf16 lanes removed. The geo branches keep bf16 lanes (their
+        Pallas kernels upcast in VMEM; blends promote via f32 masks)."""
+        return img.astype(jnp.float32)
 
     def lvl_from(k):
         if inj is not None:      # shared-draw-table mode (parity tests)
@@ -860,21 +914,21 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
         return 0.1 + jax.random.uniform(k) * (severity - 0.1)
 
     def br_auto(k):
-        return autocontrast(img)
+        return autocontrast(imgf())
 
     def br_eq(k):
-        return equalize(img)
+        return equalize(imgf())
 
     def br_post(k):
         bits = 4 - jnp.floor(lvl_from(k) * 4.0 / 10.0).astype(jnp.int32)
-        return posterize(img, jnp.maximum(bits, 1))
+        return posterize(imgf(), jnp.maximum(bits, 1))
 
     def br_sol(k):
         thr = 256 - jnp.floor(lvl_from(k) * 256.0 / 10.0).astype(jnp.int32)
-        return solarize(img, thr)
+        return solarize(imgf(), thr)
 
     def br_inv(k):
-        return invert(img)
+        return invert(imgf())
 
     def _f(k):
         return lvl_from(k) * 1.8 / 10.0 + 0.1
@@ -913,7 +967,10 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
 
     def _bg_blend(warp_fn, k):
         un = fg.union.astype(jnp.float32)
-        x4 = jnp.concatenate([img, un[..., None] * 255.0], axis=-1)
+        # alpha rides in the image dtype — a f32 alpha would silently
+        # promote the whole 4-channel concat back to f32
+        x4 = jnp.concatenate(
+            [img, (un[..., None] * 255.0).astype(img.dtype)], axis=-1)
         w4 = warp_fn(x4, k)
         maintained = jnp.maximum(un, w4[..., 3] / 255.0)[..., None]
         out = maintained * img + (1.0 - maintained) * w4[..., :3]
@@ -968,10 +1025,10 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     branches = [br_auto, br_eq, br_post, br_sol]
     if all_ops:
         branches += [br_inv,
-                     lambda k: enhance_color(img, _f(k)),
-                     lambda k: enhance_contrast(img, _f(k)),
-                     lambda k: enhance_brightness(img, _f(k)),
-                     lambda k: enhance_sharpness(img, _f(k))]
+                     lambda k: enhance_color(imgf(), _f(k)),
+                     lambda k: enhance_contrast(imgf(), _f(k)),
+                     lambda k: enhance_brightness(imgf(), _f(k)),
+                     lambda k: enhance_sharpness(imgf(), _f(k))]
     branches += [br_geo_rot, br_geo_shear, br_geo_trans,
                  br_bg_rotate, br_bg_shear, br_bg_translate]
     # op order (get_aug_list): photo..., bboxes_only rotate/shear_xy/

@@ -93,14 +93,16 @@ def _shear_kernel_v3(base_ref, img_ref, resid_ref, frac_ref, out_ref, *,
     every op is a full-width vector op, no per-row scalar loops."""
     i = pl.program_id(0)
     s_len = img_ref.shape[1]
-    tile = img_ref[:, :]
+    # bf16 lanes: load in the caller's dtype (half the HBM traffic for
+    # the OA-Mix chain) and upcast in VMEM — identical f32 math
+    tile = img_ref[:, :].astype(jnp.float32)
     t0 = pltpu.roll(tile, shift=s_len - base_ref[i], axis=1)
     resid = resid_ref[:, :]                          # (8, 1) int32
     frac = frac_ref[:, :]                            # (8, 1) f32
     t = _resid_roll(t0, resid, s_len)
     a = t[:, :wc]
     b = pltpu.roll(t, shift=s_len - c, axis=1)[:, :wc]
-    out_ref[:, :] = a * (1.0 - frac) + b * frac
+    out_ref[:, :] = (a * (1.0 - frac) + b * frac).astype(out_ref.dtype)
 
 
 def _shear_kernel_v4(rollb_ref, img_ref, fs_ref, resid_ref, frac_ref,
@@ -112,7 +114,7 @@ def _shear_kernel_v4(rollb_ref, img_ref, fs_ref, resid_ref, frac_ref,
     1024x2048x4 f32 that copy alone was ~56 MB of traffic per pass.
     Requires W*C % 128 == 0 (the wrapper falls back to v3 otherwise)."""
     i = pl.program_id(0)
-    tile = img_ref[:, :]
+    tile = img_ref[:, :].astype(jnp.float32)     # bf16 lanes: upcast in VMEM
     t0 = pltpu.roll(tile, shift=rollb_ref[i], axis=1)
     t = _resid_roll(t0, resid_ref[:, :], wc, MAX_RESID)
     li = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
@@ -311,7 +313,10 @@ def shear_rows(img: jnp.ndarray, shifts: jnp.ndarray, fracs: jnp.ndarray,
 
 
 def shear_rows_xla(img, shifts, fracs, max_shift: int):
-    """Pure-XLA reference/fallback (take_along_axis, gather-bound)."""
+    """Pure-XLA reference/fallback (take_along_axis, gather-bound).
+    Always computes in f32 so CPU/interpret results are independent of the
+    caller's lane dtype (the TPU kernels take bf16 lanes)."""
+    img = img.astype(jnp.float32)
     h, w, c = img.shape
     pad = max_shift + 1
     img_p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)))
@@ -397,10 +402,10 @@ def _pw_shift_kernel(base_ref, pres_ref, img_ref, bid_ref, resid_ref,
     MAX_FG."""
     i = pl.program_id(0)
     s_len = img_ref.shape[1]
-    tile = img_ref[:, :]
+    tile = img_ref[:, :].astype(jnp.float32)     # bf16 lanes: upcast in VMEM
     # identity (zero-shift) default — pixels of skipped boxes keep it
     out_ref[:, :] = pltpu.roll(tile, shift=s_len - pad_flat,
-                               axis=1)[:, :wc]
+                               axis=1)[:, :wc].astype(out_ref.dtype)
     bid = bid_ref[:, :]
     for gi in range(g):
         @pl.when(pres_ref[i, gi] > 0)
@@ -411,7 +416,7 @@ def _pw_shift_kernel(base_ref, pres_ref, img_ref, bid_ref, resid_ref,
             t = _resid_roll(t_g, resid, s_len, PW_MAX_RESID)
             a = t[:, :wc]
             b = pltpu.roll(t, shift=s_len - c, axis=1)[:, :wc]
-            val = a * (1.0 - frac) + b * frac
+            val = (a * (1.0 - frac) + b * frac).astype(out_ref.dtype)
             out_ref[:, :] = jnp.where(bid == gi, val, out_ref[:, :])
 
 
@@ -422,8 +427,8 @@ def _pw_shift_kernel_v4(rollb_ref, pres_ref, img_ref, bid_ref, fs_ref,
     rows, cyclic rolls, index-mask borders. The zero-shift identity
     default is the tile itself (no roll at all)."""
     i = pl.program_id(0)
-    tile = img_ref[:, :]
-    out_ref[:, :] = tile
+    tile = img_ref[:, :].astype(jnp.float32)     # bf16 lanes: upcast in VMEM
+    out_ref[:, :] = tile.astype(out_ref.dtype)
     bid = bid_ref[:, :]
     li = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
     for gi in range(g):
@@ -504,8 +509,8 @@ def _merged_shift_kernel(rollb_sl_ref, rollb_bb_ref, pres_slot_ref,
     composite select is ONE integer compare.
     """
     i = pl.program_id(0)
-    tile = img_ref[:, :]
-    out_ref[:, :] = tile
+    tile = img_ref[:, :].astype(jnp.float32)     # bf16 lanes: upcast in VMEM
+    out_ref[:, :] = tile.astype(out_ref.dtype)
     cid = cid_ref[:, :]
     li = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
 
@@ -573,7 +578,9 @@ def merged_shift_rows(img: jnp.ndarray, cid: jnp.ndarray, p_bb: jnp.ndarray,
     s = p_sl.shape[1]
     g = sg // s
     if jax.devices()[0].platform == "cpu":
-        # per-pixel gather fallback (CPU tests): identical lerp math
+        # per-pixel gather fallback (CPU tests): identical lerp math,
+        # pinned to f32 independent of the caller's lane dtype
+        img = img.astype(jnp.float32)
         valid = cid < s * g                  # identity sentinel = S*G
         slot = jnp.minimum(cid // g, s - 1)  # sentinel -> slot 0 (bg is
         # global and the caller runs per-slot trios, n_slots == 1)

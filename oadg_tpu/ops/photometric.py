@@ -203,7 +203,7 @@ _SMOOTH = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
 
 
 def enhance_sharpness(img: jnp.ndarray, factor) -> jnp.ndarray:
-    x = jnp.clip(img, 0, 255)
+    x = jnp.clip(img, 0, 255).astype(jnp.float32)   # conv needs f32 operands
     c = x.shape[-1]
     xc = x.transpose(2, 0, 1)[:, None]                          # channels -> batch: (C,1,H,W)
     k = jnp.asarray(_SMOOTH).reshape(1, 1, 3, 3)
