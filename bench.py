@@ -2,8 +2,8 @@
 
 Runs the flagship config's FULL training step (multi-view forward, RPN +
 RoI + contrastive losses, backward, SGD update) at the Cityscapes training
-resolution (1024x2048) with batch 2 x 2 views, bf16 compute, on whatever
-chip jax exposes, and prints ONE JSON line.
+resolution (1024x2048) with batch 4 x 2 views (BENCH_BATCH overrides),
+bf16 compute, on whatever chip jax exposes, and prints ONE JSON line.
 
 Baseline note: the reference publishes no throughput numbers
 (BASELINE.md: "published: {}"). ``vs_baseline`` is measured against an

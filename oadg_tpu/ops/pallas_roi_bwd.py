@@ -247,7 +247,7 @@ def roi_fwd_window_pallas(feats, meta, A, B, out: int,
         in_specs=(
             [pl.BlockSpec((1, win_y, out8), lambda i, *m: (i, 0, 0)),
              pl.BlockSpec((1, win_x, out8), lambda i, *m: (i, 0, 0))]
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels
+            + [pl.BlockSpec(memory_space=pl.ANY)] * num_levels
         ),
         out_specs=pl.BlockSpec((1, out, out, c), lambda i, *m: (i, 0, 0, 0)),
         scratch_shapes=[
@@ -308,9 +308,9 @@ def roi_bwd_window_pallas(d_feats, meta, dy, A, B, out: int,
                           lambda i, *m: (i, 0, 0, 0)),
              pl.BlockSpec((1, win_y, out), lambda i, *m: (i, 0, 0)),
              pl.BlockSpec((1, win_x, out), lambda i, *m: (i, 0, 0))]
-            + [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels
+            + [pl.BlockSpec(memory_space=pl.ANY)] * num_levels
         ),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
         scratch_shapes=[
             pltpu.VMEM((win_y, win_x, c), table_dtype),
             pltpu.SemaphoreType.DMA,
