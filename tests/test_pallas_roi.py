@@ -151,3 +151,56 @@ def test_violator_window_passes(monkeypatch):
     for a, b in zip(gc, ga):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_exact_tap_contingency_per_level_scatter(monkeypatch):
+    """Rois the big-window violator passes can't handle route through the
+    exact tap while-loop (32-slot scatter iterations over the flat
+    gradient table). This fixture forces >=2 such rois spanning BOTH
+    levels, so the loop's cross-level row bookkeeping is exercised with
+    nonzero updates — a path the standard fixtures leave at zero
+    iterations. (A per-level-scatter rewrite of this contingency was
+    measured SLOWER in the full bench — 0.3389 vs 0.3265 s/step, the
+    4-array while carry forces copies — and reverted; this test pins
+    the exact path's correctness under either form.)
+    Ref op replaced: mmcv CUDA roi_align backward (atomicAdd taps)."""
+    from oadg_tpu.ops.roi_align import (_roi_align_multilevel_impl,
+                                        _violator_window_meta,
+                                        _window_meta, roi_align_multilevel)
+    rng = np.random.RandomState(3)
+    feats = [jnp.asarray(rng.rand(2, 64, 96, 8).astype(np.float32)),
+             jnp.asarray(rng.rand(2, 32, 48, 8).astype(np.float32))]
+    rois = jnp.asarray(np.array([
+        [0, 0, 0, 380, 250],      # huge both-axis span -> beyond passes
+        [1, 0, 0, 370, 16],       # extreme wide -> beyond passes
+        [0, 2, 2, 18, 252],       # extreme tall (pass-handled)
+        [1, 10, 10, 40, 40],      # normal window roi
+    ], np.float32))
+    # preflight: assert the fixture really exercises the exact path
+    hs, ws = np.array([64, 32]), np.array([96, 48])
+    level_off = np.array([0, 2 * 64 * 96])
+    shapes = [(f.shape, f.dtype) for f in feats]
+    _, _, _, compact, _ = _window_meta(rois, 7, (4, 8), 56, 2, hs, ws,
+                                       level_off, shapes)
+    viol = ~np.asarray(compact)
+    pA, pB, _ = _violator_window_meta(rois, 7, (4, 8), 56, 2, hs, ws,
+                                      level_off, shapes)
+    handled = np.zeros_like(viol)
+    for p in (pA, pB):
+        if p is not None:
+            handled |= np.asarray(p["handled"]) & viol
+    assert (viol & ~handled).sum() >= 2, "fixture no longer forces the exact path"
+
+    g_out = jnp.asarray(np.random.RandomState(5)
+                        .rand(4, 7, 7, 8).astype(np.float32))
+    monkeypatch.setenv("OADG_ROI_BWD", "pallas")
+    monkeypatch.setenv("OADG_ROI_FWD", "impl")
+    gc = jax.grad(lambda fs: jnp.sum(
+        roi_align_multilevel(fs, rois, 7, (4, 8), 2, 56) * g_out))(
+        list(feats))
+    ga = jax.grad(lambda fs: jnp.sum(_roi_align_multilevel_impl(
+        fs, rois, output_size=7, featmap_strides=(4, 8), sampling_ratio=2,
+        finest_scale=56, chunk=256) * g_out))(list(feats))
+    for a, b in zip(gc, ga):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=2e-6)
