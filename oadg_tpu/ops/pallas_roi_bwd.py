@@ -88,9 +88,12 @@ def _kernel(num_levels, out, c, table_dtype, win_y, win_x,
         A = a_ref[0]                                   # (win_y, out) f32
         Bm = b_ref[0]                                  # (win_x, out) f32
         dy = dy_ref[0].astype(jnp.float32)             # (out, out, C)
-        t = jnp.zeros((win_y, out, c), jnp.float32)    # t[a, ox, c]
-        for oy in range(out):
-            t = t + A[:, oy][:, None, None] * dy[oy][None, :, :]
+        # t[a, (ox c)] = sum_oy A[a, oy] dy[oy, ox, c] — one MXU matmul
+        # (round-5: replaces `out` serial VPU broadcast-FMAs; trailing
+        # -dims collapse of dy is a layout no-op)
+        t = jax.lax.dot_general(
+            A, dy.reshape(out, out * c), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(win_y, out, c)
         g_win = jnp.zeros((win_y, win_x, c), jnp.float32)
         for ox in range(out):
             g_win = g_win + (t[:, ox, :][:, None, :]
@@ -132,70 +135,110 @@ def _fwd_kernel(num_levels, out, out8, c, feat_dtype, win_y, win_x,
                 win_y_s, win_x_s, small_levels, full_levels,
                 lvl_ref, bi_ref, y0_ref, x0_ref, ok_ref, cls_ref,
                 a_ref, b_ref, *refs):
-    """Forward: grid step = one roi; DMA its window in, contract with the
+    """Forward: grid step = one roi; contract its window with the
     slot-weight factors, write the (out, out, C) roi features block.
     ``out8`` pads the bin axis to a sublane multiple — Mosaic rejects
     broadcasts whose leading extent is below the 8-sublane tile.
     ``small_levels`` / ``full_levels``: static level-index tuples a class
-    may DMA (see _kernel)."""
+    may DMA (see _kernel).
+
+    Round-5 rework (the old form cost ~4.5 us/roi at ~0.25 us of pure
+    window bytes):
+    - DOUBLE-BUFFERED window DMA: step r waits on its own window in slot
+      r%2 and immediately starts roi r+1's DMA into slot (r+1)%2, so the
+      HBM window fetch rides under roi r's contraction instead of
+      serializing with it. Safe for the forward (read-only windows;
+      the backward's RMW windows can overlap between rois and stay
+      sequential in _kernel).
+    - stage-1 contraction on the MXU: t = A^T @ w with the window
+      collapsed to (win_y, win_x*C) (trailing-dims collapse is a layout
+      no-op) — replaces win_y serial VPU broadcast-FMAs; stage 2 runs
+      `out` wide VPU reduces instead of win_x FMAs."""
     feats = refs[:num_levels]
     out_ref = refs[num_levels]
-    win = refs[num_levels + 1]
-    sem_in = refs[num_levels + 2]
+    win = refs[num_levels + 1]                     # (2, win_y, win_x, C)
+    sem_in = refs[num_levels + 2]                  # DMA sems, (2,)
 
     r = pl.program_id(0)
-    lvl = lvl_ref[r]
-    bi = bi_ref[r]
-    y0 = y0_ref[r]
-    x0 = pl.multiple_of(x0_ref[r], 8)
+    nr = pl.num_programs(0)
+
+    def dma_for(i, slot, do_start):
+        """Start (or re-describe and wait) roi i's window copy into
+        buffer ``slot`` — the wait must rebuild the SAME descriptor."""
+        lvl_i = lvl_ref[i]
+        bi_i = bi_ref[i]
+        y0_i = y0_ref[i]
+        x0_i = pl.multiple_of(x0_ref[i], 8)
+        ok_i = ok_ref[i]
+        cls_i = cls_ref[i]
+        for l in range(num_levels):
+            if l in small_levels:
+                @pl.when((lvl_i == l) & (ok_i == 1) & (cls_i == 0))
+                def _(l=l):
+                    src = feats[l].at[bi_i, pl.ds(y0_i, win_y_s),
+                                      pl.ds(x0_i, win_x_s), :]
+                    cp = pltpu.make_async_copy(
+                        src, win.at[slot, pl.ds(0, win_y_s),
+                                    pl.ds(0, win_x_s), :],
+                        sem_in.at[slot])
+                    if do_start:
+                        cp.start()
+                    else:
+                        cp.wait()
+            if l in full_levels:
+                @pl.when((lvl_i == l) & (ok_i == 1) & (cls_i == 1))
+                def _(l=l):
+                    src = feats[l].at[bi_i, pl.ds(y0_i, win_y),
+                                      pl.ds(x0_i, win_x), :]
+                    cp = pltpu.make_async_copy(src, win.at[slot],
+                                               sem_in.at[slot])
+                    if do_start:
+                        cp.start()
+                    else:
+                        cp.wait()
+
+    @pl.when(r == 0)
+    def _():
+        dma_for(0, 0, True)
+
+    slot = jax.lax.rem(r, 2)
+    dma_for(r, slot, False)                        # wait own window
+    @pl.when(r + 1 < nr)
+    def _():
+        dma_for(r + 1, 1 - slot, True)             # prefetch next roi
+
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
     ok = ok_ref[r]
     cls = cls_ref[r]
 
-    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
-
-    for l in range(num_levels):
-        if l in small_levels:
-            @pl.when((lvl == l) & (ok == 1) & (cls == 0))
-            def _(l=l):
-                src = feats[l].at[bi, pl.ds(y0, win_y_s),
-                                  pl.ds(x0, win_x_s), :]
-                cp = pltpu.make_async_copy(
-                    src, win.at[:win_y_s, :win_x_s, :], sem_in)
-                cp.start()
-                # small-class rois have zero weights beyond the small
-                # window, but stale scratch there can hold NaN bit
-                # patterns (0 * NaN = NaN) — zero the margins (VMEM-only
-                # writes, sub-us)
-                if win_y_s < win_y:
-                    win[win_y_s:, :, :] = jnp.zeros(
-                        (win_y - win_y_s, win_x, win.shape[-1]), win.dtype)
-                if win_x_s < win_x:
-                    win[:win_y_s, win_x_s:, :] = jnp.zeros(
-                        (win_y_s, win_x - win_x_s, win.shape[-1]),
-                        win.dtype)
-                cp.wait()
-
-        if l in full_levels:
-            @pl.when((lvl == l) & (ok == 1) & (cls == 1))
-            def _(l=l):
-                src = feats[l].at[bi, pl.ds(y0, win_y), pl.ds(x0, win_x), :]
-                cp = pltpu.make_async_copy(src, win, sem_in)
-                cp.start()
-                cp.wait()
+    @pl.when((ok == 1) & (cls == 0))
+    def _():
+        # small-class rois have zero weights beyond the small window,
+        # but stale scratch there can hold NaN bit patterns
+        # (0 * NaN = NaN) — zero the margins (VMEM-only writes, sub-us)
+        if win_y_s < win_y:
+            win[slot, win_y_s:, :, :] = jnp.zeros(
+                (win_y - win_y_s, win_x, win.shape[-1]), win.dtype)
+        if win_x_s < win_x:
+            win[slot, :win_y_s, win_x_s:, :] = jnp.zeros(
+                (win_y_s, win_x - win_x_s, win.shape[-1]), win.dtype)
 
     @pl.when(ok == 1)
     def _():
         A = a_ref[0]                               # (win_y, out8)
         Bm = b_ref[0]                              # (win_x, out8)
-        w = win[:].astype(jnp.float32)             # (win_y, win_x, C)
-        # t[b, oy, c] = sum_a A[a, oy] w[a, b, c]
-        t = jnp.zeros((win_x, out8, c), jnp.float32)
-        for a in range(win_y):
-            t = t + A[a][None, :, None] * w[a][:, None, :]
-        # o[oy, ox, c] = sum_b Bm[b, ox] t[b, oy, c]
+        w2 = win[slot].astype(jnp.float32).reshape(win_y, win_x * c)
+        # t[oy, (b c)] = sum_a A[a, oy] w[a, b, c]  — one MXU matmul
+        t = jax.lax.dot_general(
+            A, w2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(out8, win_x, c)
+        # o[oy, ox, c] = sum_b Bm[b, ox] t[oy, b, c] — column writes via
+        # one-hot FMA (value-level scatter/DUS don't lower in Mosaic)
+        eye = jnp.eye(out8, dtype=jnp.float32)
         o = jnp.zeros((out8, out8, c), jnp.float32)
-        for bx in range(win_x):
-            o = o + Bm[bx][None, :, None] * t[bx][:, None, :]
+        for ox in range(out):
+            col = jnp.sum(t * Bm[:, ox][None, :, None], axis=1)  # (out8, C)
+            o = o + col[:, None, :] * eye[ox][None, :, None]
         out_ref[0] = o[:out, :out, :].astype(out_ref.dtype)
 
 
@@ -251,8 +294,8 @@ def roi_fwd_window_pallas(feats, meta, A, B, out: int,
         ),
         out_specs=pl.BlockSpec((1, out, out, c), lambda i, *m: (i, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((win_y, win_x, c), feat_dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win_y, win_x, c), feat_dtype),   # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, num_levels, out, out8, c,
