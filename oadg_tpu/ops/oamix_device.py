@@ -87,6 +87,24 @@ def _use_merged_chain() -> bool:
     return _os.environ.get("OAMIX_CHAIN", "slots") == "merged"
 
 
+def _lane_dtype():
+    """Chain-state lane dtype crossing every lax.cond/switch boundary.
+
+    The chain state is integer-valued 0..255 after every op (each branch
+    trunc/rounds), so uint8 represents it EXACTLY and quarters the f32
+    boundary materialization bytes (the measured dominant chain cost).
+    Branches upcast internally exactly as the bf16-lane form did, so all
+    math — and therefore the golden/quantization pins — is bit-identical.
+    OAMIX_LANES=bf16|f32 restores the wider lanes (A/B + debugging);
+    OAMIX_F32_LANES=1 is kept as an alias for f32.
+    """
+    if _os.environ.get("OAMIX_F32_LANES"):
+        return jnp.float32
+    v = _os.environ.get("OAMIX_LANES", "u8")
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16,
+            "u8": jnp.uint8}[v]
+
+
 def _use_pw_geo() -> bool:
     # Route bboxes_only_* through the piecewise-shift Pallas kernel
     # (vs the per-pixel XLA gather path). Default ON for TPU since the
@@ -479,11 +497,19 @@ def _pw_pass_y(img, fg: _FgInfo, p):
         (1, 0, 2))
 
 
+def _warp_lanes(img):
+    """uint8 chain lanes upcast to bf16 for the shift kernels (identical
+    values — ints <= 255 are exact in bf16 — so the kernel math and the
+    blend results are bit-identical to the bf16-lane form)."""
+    return img.astype(jnp.bfloat16) if img.dtype == jnp.uint8 else img
+
+
 def _pw_rotate(img, fg: _FgInfo, key, severity: float, inj=None):
     """bboxes_only_rotate on the piecewise-shift kernel: centered Paeth
     X(a1) Y(b2) X(a1) 3-shear factorization (3 per-row shift passes).
     Same per-pixel strongest-box approximation as the gather path; the
     rotation interpolates through 3 lerp stages instead of 2."""
+    img = _warp_lanes(img)
     h, w = img.shape[0], img.shape[1]
     lvl, sign, _, cx, cy, _, _ = _pw_params(key, fg.boxes, severity, inj)
     deg = jnp.floor(lvl * 30.0 / 10.0) * sign
@@ -504,6 +530,7 @@ def _pw_shear(img, fg: _FgInfo, key, severity: float, inj=None):
     """bboxes_only_shear_xy: ONE shift pass — x or y picked by the
     per-call coin via lax.cond (under scan the untaken pass never runs;
     the old 3-pass form paid two dead kernel passes + transposes)."""
+    img = _warp_lanes(img)
     h, w = img.shape[0], img.shape[1]
     lvl, sign, use_x, cx, cy, _, _ = _pw_params(key, fg.boxes, severity,
                                                 inj)
@@ -527,6 +554,7 @@ def _pw_translate(img, fg: _FgInfo, key, severity: float, inj=None):
     translate 512 px instead of up to ~682 — a documented saturation on
     near-image-width boxes (their blend mask covers most of the frame
     anyway); all rotate/shear bounds fit well inside the kernel pad."""
+    img = _warp_lanes(img)
     h, w = img.shape[0], img.shape[1]
     lvl, sign, use_x, _, _, bw, bh = _pw_params(key, fg.boxes, severity,
                                                 inj)
@@ -649,6 +677,8 @@ def _depth_step_merged(img16, ck, od, fg: _FgInfo, mctx, severity: float,
     from .pallas_warp import merged_shift_rows
     from .photometric import (apply_lut_nibble, equalize_lut_from_hist,
                               grayscale_l, image_hist256)
+    if img16.dtype == jnp.uint8:       # u8 lanes: kernels take bf16
+        img16 = img16.astype(jnp.bfloat16)
     h, w = img16.shape[0], img16.shape[1]
     img = img16.astype(jnp.float32)
     g = fg.boxes.shape[0]
@@ -864,7 +894,7 @@ def _depth_step_merged(img16, ck, od, fg: _FgInfo, mctx, severity: float,
         out = jax.lax.cond(is_bb_s[0] | is_bg_s[0], geo_fn,
                            lambda acc: acc, out)
     return jnp.clip(jnp.round(out.astype(jnp.float32)),
-                    0, 255).astype(jnp.bfloat16)
+                    0, 255).astype(_lane_dtype())
 
 
 def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
@@ -891,8 +921,7 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     <= ±1/255 against the f32 lanes on-chip. OAMIX_F32_LANES=1 restores
     the f32 path (A/B + debugging).
     """
-    img = (img_io.astype(jnp.float32)
-           if _os.environ.get("OAMIX_F32_LANES") else img_io)
+    img = img_io.astype(_lane_dtype())
     all_ops = version != "augmix"
     n_photo = 9 if all_ops else 4
 
@@ -966,14 +995,16 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     h_s, w_s = img.shape[0], img.shape[1]
 
     def _bg_blend(warp_fn, k):
+        imgw = _warp_lanes(img)
         un = fg.union.astype(jnp.float32)
         # alpha rides in the image dtype — a f32 alpha would silently
-        # promote the whole 4-channel concat back to f32
+        # promote the whole 4-channel concat back to f32 (and a uint8
+        # alpha would trunc-quantize it, so u8 lanes upcast first)
         x4 = jnp.concatenate(
-            [img, (un[..., None] * 255.0).astype(img.dtype)], axis=-1)
+            [imgw, (un[..., None] * 255.0).astype(imgw.dtype)], axis=-1)
         w4 = warp_fn(x4, k)
         maintained = jnp.maximum(un, w4[..., 3] / 255.0)[..., None]
-        out = maintained * img + (1.0 - maintained) * w4[..., :3]
+        out = maintained * imgw + (1.0 - maintained) * w4[..., :3]
         return jnp.clip(jnp.round(out), 0, 255)
 
     def _lvl_sign(k):
@@ -1034,12 +1065,21 @@ def _aug_once(img_io, key, op_idx, fg: _FgInfo, img_shape, severity: float,
     # op order (get_aug_list): photo..., bboxes_only rotate/shear_xy/
     # translate_xy, bg rotate/shear_xy/translate_xy — 1:1 with branches.
     branch_idx = op_idx
-    branches16 = [lambda k, b=b: b(k).astype(jnp.bfloat16) for b in branches]
+    lane_dt = _lane_dtype()
+
+    def to_lane(x):
+        # every branch is clipped to [0, 255] already; the extra clip is
+        # a fused no-op that guards the u8 cast against any future
+        # unclipped branch (f32->u8 casts WRAP out-of-range values)
+        return (jnp.clip(x, 0, 255).astype(lane_dt)
+                if lane_dt == jnp.uint8 else x.astype(lane_dt))
+
+    branches16 = [lambda k, b=b: to_lane(b(k)) for b in branches]
     if active is not None:
         # empty random-box slots multiply the result by an all-zero mask —
         # route them to a passthrough branch so the expensive op never
         # executes (bit-exact: the output is discarded anyway)
-        branches16 = branches16 + [lambda k: img_io.astype(jnp.bfloat16)]
+        branches16 = branches16 + [lambda k: img_io.astype(lane_dt)]
         branch_idx = jnp.where(active, branch_idx, len(branches16) - 1)
     return jax.lax.switch(jnp.clip(branch_idx, 0, len(branches16) - 1),
                           branches16, key)
@@ -1194,17 +1234,20 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict,
             if inject:
                 slot_xs = slot_xs + (lv_w[d], sg_w[d], cn_w[d])
             img_tmp, _ = jax.lax.scan(
-                slot_body, jnp.zeros(img_aug16.shape, jnp.bfloat16),
+                slot_body, jnp.zeros(img_aug16.shape, _lane_dtype()),
                 slot_xs)
-            # round/clip are exact in bf16 on the 0..~300 range the branch
-            # outputs live in (bf16 spacing <= 1 there, every integer
-            # 0..255 representable) — bit-identical to the old f32 path
+            # round/clip are exact in the lane dtype on the 0..~300 range
+            # the branch outputs live in (every integer 0..255 is
+            # representable; u8 lanes carry already-rounded ints) —
+            # bit-identical to the old f32 path
+            if img_tmp.dtype == jnp.uint8:
+                return img_tmp
             return jnp.clip(jnp.round(img_tmp), 0, 255)
 
         # traced upper bound: only `depth` iterations actually execute
         # (E[depth]=2 of max 3 — a masked static loop would waste ~1/3)
         out16 = jax.lax.fori_loop(0, depth, depth_step,
-                                  img.astype(jnp.bfloat16))
+                                  img.astype(_lane_dtype()))
         return acc + wgt * out16.astype(jnp.float32), None
 
     chain_keys = jax.random.split(keys[5], width)
