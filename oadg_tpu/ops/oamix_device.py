@@ -1352,8 +1352,14 @@ def _oamix_single(img, gt_boxes, gt_valid, img_shape, key, cfg: Dict,
     if _os.environ.get("OAMIX_SKIP_MIX"):        # profiling knob
         a_w, b_w, mask_sum = zhw, zhw, zhw
     else:
-        a_w, b_w, mask_sum = jax.lax.fori_loop(
-            0, region_boxes.shape[0], mix_body, (zhw, zhw, zhw))
+        # UNROLLED (R = 21 static): a lax.fori_loop here became 21
+        # serial while iterations of tiny elementwise bodies — unrolling
+        # lets XLA fuse the whole accumulation chain into a few passes
+        # (identical math, same iteration order)
+        carry = (zhw, zhw, zhw)
+        for _i in range(region_boxes.shape[0]):
+            carry = mix_body(_i, carry)
+        a_w, b_w, mask_sum = carry
 
     if draws is not None:
         m_global = draws["m_global"].astype(jnp.float32)
